@@ -1,0 +1,211 @@
+"""ctypes loader (and on-demand builder) for the native host codec library.
+
+The reference binds to native code through DPDK's C ABI; here the framework
+owns the native layer and binds via ctypes (pybind11 is not available in the
+environment).  The library is built once into ``ops/cpu/build`` with
+cmake+ninja when present, else a direct g++ invocation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ...status import Status, StatusError
+
+_SRC_DIR = Path(__file__).resolve().parent
+_BUILD_DIR = _SRC_DIR / "build"
+_LIB_PATH = _BUILD_DIR / "libbitar_host.so"
+_SOURCES = ["lz4.cc", "snappy.cc", "batch.cc"]
+_ABI_VERSION = 1
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+
+
+def _needs_rebuild() -> bool:
+    if not _LIB_PATH.exists():
+        return True
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    for src in _SOURCES + ["bitar_host.h"]:
+        if (_SRC_DIR / src).stat().st_mtime > lib_mtime:
+            return True
+    return False
+
+
+def _build() -> None:
+    _BUILD_DIR.mkdir(exist_ok=True)
+    if shutil.which("cmake") and shutil.which("ninja"):
+        subprocess.run(
+            ["cmake", "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release", ".."],
+            cwd=_BUILD_DIR, check=True, capture_output=True)
+        subprocess.run(["ninja"], cwd=_BUILD_DIR, check=True, capture_output=True)
+    else:
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+               "-Wall", "-o", str(_LIB_PATH)]
+        cmd += [str(_SRC_DIR / s) for s in _SOURCES]
+        subprocess.run(cmd, check=True, capture_output=True)
+    if not _LIB_PATH.exists():
+        raise StatusError(Status.IOError(f"native build produced no {_LIB_PATH}"))
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    for name in ("bt_lz4_compress", "bt_lz4_decompress",
+                 "bt_snappy_compress", "bt_snappy_decompress"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+    lib.bt_snappy_uncompressed_len.restype = ctypes.c_int
+    lib.bt_snappy_uncompressed_len.argtypes = [u8p, ctypes.c_int]
+    for name in ("bt_lz4_parse", "bt_snappy_parse"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p, i32p, i32p]
+    for name in ("bt_batch_compress", "bt_batch_decompress"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+                       u8p, i64p, i32p, u8p, i64p, i32p, i32p]
+    lib.bt_abi_version.restype = ctypes.c_int
+    lib.bt_abi_version.argtypes = []
+    return lib
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native library; thread-safe, idempotent."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _needs_rebuild():
+            _build()
+        lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
+        got = lib.bt_abi_version()
+        if got != _ABI_VERSION:
+            raise StatusError(Status.IOError(
+                f"native ABI version {got} != expected {_ABI_VERSION}"))
+        _lib = lib
+        return _lib
+
+
+# ---------------------------------------------------------------------------
+# numpy-friendly wrappers
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _as_u8(data) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) \
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    return arr
+
+
+def _check(rc: int, what: str) -> int:
+    if rc < 0:
+        raise StatusError(Status.from_int(rc, what))
+    return rc
+
+
+def lz4_compress(data, dst_cap: int | None = None) -> np.ndarray:
+    src = _as_u8(data)
+    cap = dst_cap if dst_cap is not None else len(src) + len(src) // 255 + 16
+    dst = np.empty(cap, dtype=np.uint8)
+    rc = _check(load().bt_lz4_compress(_u8ptr(src), len(src), _u8ptr(dst), cap),
+                "lz4_compress")
+    return dst[:rc]
+
+
+def lz4_decompress(data, dst_cap: int) -> np.ndarray:
+    src = _as_u8(data)
+    dst = np.empty(dst_cap, dtype=np.uint8)
+    rc = _check(load().bt_lz4_decompress(_u8ptr(src), len(src), _u8ptr(dst), dst_cap),
+                "lz4_decompress")
+    return dst[:rc]
+
+
+def snappy_compress(data, dst_cap: int | None = None) -> np.ndarray:
+    src = _as_u8(data)
+    cap = dst_cap if dst_cap is not None else 32 + len(src) + len(src) // 6
+    dst = np.empty(cap, dtype=np.uint8)
+    rc = _check(load().bt_snappy_compress(_u8ptr(src), len(src), _u8ptr(dst), cap),
+                "snappy_compress")
+    return dst[:rc]
+
+
+def snappy_decompress(data, dst_cap: int | None = None) -> np.ndarray:
+    src = _as_u8(data)
+    if dst_cap is None:
+        dst_cap = _check(load().bt_snappy_uncompressed_len(_u8ptr(src), len(src)),
+                         "snappy_uncompressed_len")
+    dst = np.empty(max(1, dst_cap), dtype=np.uint8)
+    rc = _check(load().bt_snappy_decompress(_u8ptr(src), len(src), _u8ptr(dst), dst_cap),
+                "snappy_decompress")
+    return dst[:rc]
+
+
+def parse_sequences(data, codec: str = "lz4", max_seq: int | None = None):
+    """Extract the SoA sequence table feeding the TPU decode kernels.
+
+    Returns dict of int32 arrays (lit_ptr, lit_len, off, mlen, out_pos) of
+    length nseq.
+    """
+    src = _as_u8(data)
+    if max_seq is None:
+        max_seq = max(16, len(src) + 1)
+    cols = {k: np.zeros(max_seq, dtype=np.int32)
+            for k in ("lit_ptr", "lit_len", "off", "mlen", "out_pos")}
+    fn = load().bt_lz4_parse if codec == "lz4" else load().bt_snappy_parse
+    rc = _check(fn(_u8ptr(src), len(src), max_seq,
+                   _i32ptr(cols["lit_ptr"]), _i32ptr(cols["lit_len"]),
+                   _i32ptr(cols["off"]), _i32ptr(cols["mlen"]),
+                   _i32ptr(cols["out_pos"])), f"{codec}_parse")
+    return {k: v[:rc] for k, v in cols.items()}
+
+
+_CODEC_INT = {"lz4": 0, "snappy": 1, "zstd": 2, "raw": 3}
+
+
+def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,
+              src_len: np.ndarray, dst: np.ndarray, dst_off: np.ndarray,
+              dst_cap: np.ndarray, nthreads: int = 0,
+              codec_ids: np.ndarray | None = None):
+    """Multithreaded batch (de)compress over packed byte arrays.
+
+    Returns (dst_len int32 array, status int32 array); raises nothing — the
+    caller inspects per-block status (matching the reference's per-op status
+    walk at dequeue, src/device.cc:512-520).
+    """
+    n = int(src_len.shape[0])
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    dst_len = np.ascontiguousarray(dst_cap, dtype=np.int32).copy()
+    status = np.zeros(n, dtype=np.int32)
+    src_off = np.ascontiguousarray(src_off, dtype=np.int64)
+    dst_off = np.ascontiguousarray(dst_off, dtype=np.int64)
+    src_len = np.ascontiguousarray(src_len, dtype=np.int32)
+    ids_ptr = _i32ptr(np.ascontiguousarray(codec_ids, dtype=np.int32)) \
+        if codec_ids is not None else None
+    fn = load().bt_batch_compress if compress else load().bt_batch_decompress
+    fn(_CODEC_INT[codec], ids_ptr, nthreads, n,
+       _u8ptr(src), _i64ptr(src_off), _i32ptr(src_len),
+       _u8ptr(dst), _i64ptr(dst_off), _i32ptr(dst_len), _i32ptr(status))
+    return dst_len, status

@@ -1,0 +1,65 @@
+import pytest
+
+from bitar_tpu.config import (
+    CPU_INTERPRET,
+    TPU_V5E,
+    Codec,
+    EngineConfig,
+    compress_bound,
+    lz4_compress_bound,
+    next_power_of_two,
+)
+
+
+def test_next_power_of_two():
+    assert next_power_of_two(0) == 1
+    assert next_power_of_two(1) == 1
+    assert next_power_of_two(2) == 2
+    assert next_power_of_two(3) == 4
+    assert next_power_of_two(128 * 1024) == 128 * 1024
+    assert next_power_of_two(128 * 1024 + 1) == 256 * 1024
+
+
+def test_slot_size_rule():
+    # Reference rule (config.cc:60-73): next pow2 >= 2*block when sane,
+    # else 1.1x head-room; never below the codec's true compress bound.
+    cfg = EngineConfig(codec=Codec.LZ4, block_size=128 * 1024)
+    assert cfg.slot_size >= lz4_compress_bound(128 * 1024)
+    assert cfg.slot_size % 128 == 0
+    assert cfg.slot_size == 256 * 1024  # pow2 path
+
+    cfg = EngineConfig(codec=Codec.LZ4, block_size=100)
+    assert cfg.slot_size >= lz4_compress_bound(100)
+
+
+def test_compress_bounds_monotone():
+    for codec in Codec:
+        assert compress_bound(codec, 0) > 0
+        assert compress_bound(codec, 1 << 20) > (1 << 20)
+
+
+def test_validate_ok():
+    assert EngineConfig().validate(TPU_V5E).ok()
+    assert EngineConfig(codec=Codec.ZSTD, level=9).validate(TPU_V5E).ok()
+
+
+@pytest.mark.parametrize("kw,frag", [
+    (dict(block_size=16), "block_size"),
+    (dict(block_size=1 << 24), "block_size"),
+    (dict(burst_size=0), "burst_size"),
+    (dict(burst_size=10_000), "burst_size"),
+    (dict(pipeline_depth=0), "pipeline_depth"),
+    (dict(max_pool_slots=3), "max_pool_slots"),
+    (dict(window_log=30), "window_log"),
+    (dict(codec=Codec.LZ4, window_log=20), "LZ4 window_log"),
+    (dict(level=99), "level"),
+])
+def test_validate_rejects(kw, frag):
+    st = EngineConfig(**kw).validate(TPU_V5E)
+    assert not st.ok()
+    assert frag in st.message
+
+
+def test_validate_cpu_class_allows_small_blocks():
+    assert EngineConfig(block_size=64).validate(CPU_INTERPRET).ok()
+    assert not EngineConfig(block_size=64).validate(TPU_V5E).ok()
