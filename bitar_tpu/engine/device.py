@@ -1,0 +1,420 @@
+"""Engine: the per-device compression runtime.
+
+TPU-native analog of ``CompressDevice`` (reference ``src/device.cc`` +
+``src/include/device.h``): one engine owns one accelerator device, validates
+its configuration against device capabilities at ``initialize``, walks a
+state machine (CREATED -> STARTED -> RELEASED, reference ``device.h:64-68``),
+runs the synchronous ``compress``/``decompress`` burst loops, and recycles
+compressed output back to its arena.
+
+Mapping of the reference hot loop (``device.cc:157-318``):
+
+* assemble burst   -> stage a burst of blocks (host codec batch or arena
+                      gather + plane expansion, all device-side)
+* enqueue burst    -> dispatch the Pallas decode grid / host batch threads
+* dequeue burst    -> jax async dispatch join (``block_until_ready``) /
+                      thread join; per-block status walk
+* Recycle          -> ``recycle`` returns arena slots (``device.cc:321-327``)
+
+Compression currently executes on the host engine (multithreaded native
+C++), with output staged device-resident in the arena — the reference
+likewise offloads codec work to a foreign engine (the DPU) and keeps
+results in DMA-reachable pool memory.  Decompression executes on-device
+via the sequence-table Pallas kernel for LZ4/Snappy; zstd and units without
+sidecar tables fall back to the host path.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import threading
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    Checksum,
+    Codec,
+    DeviceCapabilities,
+    EngineConfig,
+    capabilities_for_platform,
+    next_power_of_two,
+)
+from ..manifest import BlockManifest, CompressedBuffers, checksum_of, codec_id, codec_from_id
+from ..memory.arena import CompressedBlockRef, DeviceArena
+from ..ops import registry
+from ..ops.pallas import layout
+from ..ops.pallas.lz4_decode import decode_blocks
+from ..status import Status, StatusError
+from ..utils.logging import get_logger
+
+logger = get_logger("engine.device")
+
+_TABLE_KEYS = ("lit_ptr", "lit_len", "off", "mlen", "out_pos")
+_RAW_ID = codec_id(Codec.RAW)
+
+
+class EngineState(enum.Enum):
+    """Reference device state machine (``device.h:64-68``)."""
+
+    CREATED = "created"
+    STARTED = "started"
+    RELEASED = "released"
+
+
+@dataclass
+class EngineStats:
+    """Counter surface mirroring ``rte_compressdev_stats_get``
+    (consulted by the reference's silent-failure heuristic,
+    ``device.cc:84-110``)."""
+
+    enqueued_blocks: int = 0
+    dequeued_blocks: int = 0
+    enqueue_err_blocks: int = 0
+    dequeue_err_blocks: int = 0
+    bytes_compressed: int = 0
+    bytes_decompressed: int = 0
+    tpu_decode_bursts: int = 0
+    host_decode_bursts: int = 0
+
+
+@dataclass
+class CompressedUnit:
+    """A compressed buffer set: manifest + device-resident arena slots +
+    optional sequence-table sidecar for the TPU decode kernel.
+
+    The analog of the reference's returned ``BufferVector`` (aliasing pool
+    memzones) plus the framing the reference kept implicit."""
+
+    manifest: BlockManifest
+    refs: list[CompressedBlockRef]
+    engine: "Engine"
+    tables: dict[str, np.ndarray] | None = None   # [nblocks, seq_cap] SoA
+    nseq: np.ndarray | None = None                # [nblocks]
+    recycled: bool = field(default=False)
+
+    @property
+    def nblocks(self) -> int:
+        return self.manifest.nblocks
+
+    def to_host(self) -> CompressedBuffers:
+        """Materialize the packed compressed bytes on host."""
+        self._check_live()
+        rows = np.asarray(self.engine.arena.gather_burst([r.slot for r in self.refs]))
+        packed = np.concatenate([
+            rows[i, :int(self.manifest.comp_len[i])] for i in range(self.nblocks)])
+        return CompressedBuffers(manifest=self.manifest, packed=packed)
+
+    def _check_live(self) -> None:
+        if self.recycled:
+            raise StatusError(Status.Invalid("compressed unit already recycled"))
+
+
+class Engine:
+    """One device's compression/decompression runtime."""
+
+    def __init__(self, config: EngineConfig, device=None, device_index: int = 0):
+        if config.block_size % 128 != 0:
+            raise StatusError(Status.Invalid(
+                f"block_size {config.block_size} must be a multiple of 128 "
+                f"(TPU lane width)"))
+        self.config = config
+        self.device = device
+        self.device_index = device_index
+        self.state = EngineState.CREATED
+        self.caps: DeviceCapabilities | None = None
+        self.arena: DeviceArena | None = None
+        self.stats = EngineStats()
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def initialize(self) -> "Engine":
+        """Validate config against device capabilities and preallocate the
+        arena (reference ``Initialize``, ``device.cc:115-154``)."""
+        if self.state != EngineState.CREATED:
+            raise StatusError(Status.Invalid(
+                f"initialize called in state {self.state.value}"))
+        if self.device is None:
+            self.device = jax.devices()[0]
+        self.caps = capabilities_for_platform(self.device.platform)
+        self.config.validate(self.caps).with_context(
+            f"Engine(device={self.device})").raise_if_error()
+        self.arena = DeviceArena(
+            slot_size=self.config.slot_size,
+            preallocated=self.config.max_pool_slots,
+            max_slots=self.config.max_pool_slots,
+            device=self.device)
+        self.state = EngineState.STARTED
+        logger.info("engine started on %s: codec=%s block=%d slot=%d pool=%d",
+                    self.device, self.config.codec.value, self.config.block_size,
+                    self.config.slot_size, self.config.max_pool_slots)
+        return self
+
+    def release(self) -> None:
+        """Teardown by state (reference dtor, ``device.cc:330-343``)."""
+        self.arena = None
+        self.state = EngineState.RELEASED
+
+    def __enter__(self) -> "Engine":
+        return self.initialize() if self.state == EngineState.CREATED else self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+    def _entry_guard(self) -> None:
+        """Reject calls on a non-started engine (reference ``EntryGuard``,
+        ``device.cc:444-462``; the busy-queue check lives in Stream)."""
+        if self.state != EngineState.STARTED:
+            raise StatusError(Status.Invalid(
+                f"engine not started (state={self.state.value})"))
+
+    # ------------------------------------------------------------------
+    def compress(self, data) -> CompressedUnit:
+        """Synchronous compress of one buffer into device-resident blocks.
+
+        The analog of ``CompressDevice::Compress`` (``device.cc:157-238``):
+        split into blocks, run codec bursts, land output in arena slots,
+        return the unit (caller recycles it when done)."""
+        self._entry_guard()
+        raw = np.frombuffer(data, dtype=np.uint8) if isinstance(
+            data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(data, np.uint8)
+        cfg = self.config
+        manifest = BlockManifest.plan(raw.shape[0], cfg.block_size)
+        manifest.checksum_kind = cfg.checksum
+        n = manifest.nblocks
+        slot = cfg.slot_size
+
+        staging = np.zeros((n, slot), dtype=np.uint8)
+        dst_off = np.arange(n, dtype=np.int64) * slot
+        caps = np.full(n, slot, dtype=np.int32)
+        self.stats.enqueued_blocks += n
+        dst_len, status = registry.host_compress_batch(
+            cfg.codec, cfg.level, raw, manifest.raw_off,
+            manifest.raw_len, staging.reshape(-1), dst_off, caps)
+        bad = np.flatnonzero(status < 0)
+        if bad.size:
+            self.stats.enqueue_err_blocks += int(bad.size)
+            raise StatusError(Status.from_int(
+                int(status[bad[0]]),
+                f"compress failed on blocks {bad.tolist()[:8]}"))
+
+        codec_ids = np.full(n, codec_id(cfg.codec), dtype=np.int32)
+        # Incompressible fallback: store raw when compression expands
+        # (the reference sizes slots 1.1x for exactly this data;
+        # config.cc:60-73 — we go further and skip the codec).
+        for i in np.flatnonzero(dst_len >= manifest.raw_len):
+            ln = int(manifest.raw_len[i])
+            staging[i, :ln] = raw[int(manifest.raw_off[i]):int(manifest.raw_off[i]) + ln]
+            dst_len[i] = ln
+            codec_ids[i] = _RAW_ID
+        manifest.comp_len = dst_len.astype(np.int32)
+        manifest.codec_ids = codec_ids
+        if cfg.checksum != Checksum.NONE:
+            for i in range(n):
+                o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
+                manifest.checksums[i] = checksum_of(cfg.checksum, raw[o:o + ln])
+
+        tables, nseq = self._build_tables(manifest, staging)
+
+        refs = self.arena.take_refs(
+            [int(x) for x in dst_len], [int(c) for c in codec_ids])
+        for start in range(0, n, cfg.burst_size):
+            stop = min(n, start + cfg.burst_size)
+            self.arena.write_burst(
+                [r.slot for r in refs[start:stop]],
+                jnp.asarray(staging[start:stop]))
+        self.stats.dequeued_blocks += n
+        self.stats.bytes_compressed += int(manifest.total_raw)
+        return CompressedUnit(manifest=manifest, refs=refs, engine=self,
+                              tables=tables, nseq=nseq)
+
+    # ------------------------------------------------------------------
+    def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
+                      ) -> tuple[dict[str, np.ndarray] | None, np.ndarray | None]:
+        """Parse per-block sequence tables for TPU-decodable blocks.
+
+        RAW blocks get a synthetic single-sequence table (one literal run of
+        the full block referencing the stored bytes)."""
+        per_block: list[dict[str, np.ndarray]] = []
+        for i in range(manifest.nblocks):
+            cid = int(manifest.codec_ids[i])
+            comp = staging[i, :int(manifest.comp_len[i])]
+            codec = codec_from_id(cid)
+            if codec in (Codec.LZ4, Codec.SNAPPY):
+                impl = registry.get_impl(codec)
+                from ..ops.cpu import native
+                per_block.append(native.parse_sequences(comp, impl.parse_name))
+            elif codec == Codec.RAW:
+                ln = int(manifest.raw_len[i])
+                per_block.append({
+                    "lit_ptr": np.zeros(1, np.int32),
+                    "lit_len": np.array([ln], np.int32),
+                    "off": np.zeros(1, np.int32),
+                    "mlen": np.zeros(1, np.int32),
+                    "out_pos": np.zeros(1, np.int32)})
+            else:
+                return None, None  # zstd unit: host decode path
+        cap = max(t["lit_ptr"].shape[0] for t in per_block)
+        cap = max(128, next_power_of_two(cap))
+        tables, nseq = layout.pad_tables(per_block, _TABLE_KEYS, multiple=cap)
+        return tables, nseq
+
+    # ------------------------------------------------------------------
+    def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
+                   ) -> np.ndarray:
+        """Synchronous decompress of a unit back to raw bytes.
+
+        Mirrors ``CompressDevice::Decompress`` (``device.cc:241-318``):
+        caller may provide an output buffer of at least ``total_raw`` bytes
+        (the ResizableBuffer contract); the returned view is sized exactly."""
+        self._entry_guard()
+        unit._check_live()
+        if unit.engine is not self:
+            raise StatusError(Status.Invalid(
+                "unit was produced by a different engine"))
+        m = unit.manifest
+        if out is None:
+            out = np.empty(m.total_raw, dtype=np.uint8)
+        elif out.shape[0] < m.total_raw:
+            raise StatusError(Status.CapacityError(
+                f"output buffer {out.shape[0]} < total_raw {m.total_raw}"))
+
+        use_tpu = (self.config.use_tpu_kernels and unit.tables is not None)
+        if use_tpu:
+            self._decompress_tpu(unit, out)
+        else:
+            self._decompress_host(unit, out)
+
+        if m.checksum_kind != Checksum.NONE:
+            for i in range(m.nblocks):
+                o, ln = int(m.raw_off[i]), int(m.raw_len[i])
+                got = checksum_of(m.checksum_kind, out[o:o + ln])
+                if got != int(m.checksums[i]):
+                    self.stats.dequeue_err_blocks += 1
+                    raise StatusError(Status.IOError(
+                        f"checksum mismatch on block {i}: "
+                        f"{got:#x} != {int(m.checksums[i]):#x}"))
+        self.stats.bytes_decompressed += int(m.total_raw)
+        return out[:m.total_raw]
+
+    def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
+        """Burst-pipelined Pallas decode: arena gather -> plane expand ->
+        kernel grid -> host readout, ``burst_size`` blocks per dispatch."""
+        m = unit.manifest
+        cfg = self.config
+        burst = cfg.burst_size
+        seq_cap = unit.tables["lit_ptr"].shape[1]
+        comp_rows = cfg.slot_size // 128
+        out_rows = layout.padded_rows(cfg.block_size)
+        n = m.nblocks
+        futures = []
+        for start in range(0, n, burst):
+            stop = min(n, start + burst)
+            nb = stop - start
+            # Pad the tail burst to a full burst (idle rows decode nothing:
+            # nseq=0) so every dispatch reuses one compiled program shape.
+            slots = [r.slot for r in unit.refs[start:stop]]
+            slots += [slots[-1]] * (burst - nb)
+            nseq = np.zeros(burst, np.int32)
+            nseq[:nb] = unit.nseq[start:stop]
+            tables = []
+            for k in _TABLE_KEYS:
+                col = np.zeros((burst, seq_cap), np.int32)
+                col[:nb] = unit.tables[k][start:stop]
+                tables.append(jnp.asarray(col))
+            rows = self.arena.gather_burst(slots)          # [burst, slot] u8
+            planes = _expand_planes(rows, comp_rows)
+            result = decode_blocks(
+                planes, jnp.asarray(nseq), *tables,
+                comp_rows=comp_rows + layout.GUARD_ROWS,
+                out_rows=out_rows,
+                seq_cap=seq_cap,
+                interpret=cfg.interpret)
+            futures.append((start, stop, _planes_to_bytes(result, cfg.block_size)))
+            self.stats.enqueued_blocks += nb
+        # Join in order (jax dispatch already overlapped the bursts).
+        for start, stop, fut in futures:
+            host = np.asarray(fut)                         # [nb, block_size] u8
+            for i in range(start, stop):
+                o, ln = int(m.raw_off[i]), int(m.raw_len[i])
+                out[o:o + ln] = host[i - start, :ln]
+            self.stats.dequeued_blocks += stop - start
+        self.stats.tpu_decode_bursts += len(futures)
+
+    def _decompress_host(self, unit: CompressedUnit, out: np.ndarray) -> None:
+        m = unit.manifest
+        comp = unit.to_host()
+        caps = m.raw_len.astype(np.int32)
+        dst_len, status = registry.host_decompress_batch(
+            self.config.codec, comp.packed, m.comp_off, m.comp_len,
+            out, m.raw_off, caps, codec_ids=m.codec_ids)
+        bad = np.flatnonzero(status < 0)
+        if bad.size:
+            self.stats.dequeue_err_blocks += int(bad.size)
+            raise StatusError(Status.from_int(
+                int(status[bad[0]]),
+                f"decompress failed on blocks {bad.tolist()[:8]}"))
+        if not (dst_len == m.raw_len).all():
+            raise StatusError(Status.IOError(
+                "decompressed sizes disagree with manifest"))
+        self.stats.host_decode_bursts += 1
+        self.stats.enqueued_blocks += m.nblocks
+        self.stats.dequeued_blocks += m.nblocks
+
+    # ------------------------------------------------------------------
+    def import_unit(self, cb: CompressedBuffers) -> CompressedUnit:
+        """Stage foreign compressed data (standard LZ4/Snappy/Zstd blocks)
+        into the arena, parsing sequence-table sidecars for TPU decode."""
+        self._entry_guard()
+        m = cb.manifest
+        if int(m.comp_len.max(initial=0)) > self.config.slot_size:
+            raise StatusError(Status.CapacityError(
+                f"block of {int(m.comp_len.max())}B exceeds slot "
+                f"{self.config.slot_size}B"))
+        n = m.nblocks
+        staging = np.zeros((n, self.config.slot_size), dtype=np.uint8)
+        for i in range(n):
+            o, ln = int(m.comp_off[i]), int(m.comp_len[i])
+            staging[i, :ln] = cb.packed[o:o + ln]
+        tables, nseq = self._build_tables(m, staging)
+        refs = self.arena.take_refs(
+            [int(x) for x in m.comp_len], [int(c) for c in m.codec_ids])
+        for start in range(0, n, self.config.burst_size):
+            stop = min(n, start + self.config.burst_size)
+            self.arena.write_burst([r.slot for r in refs[start:stop]],
+                                   jnp.asarray(staging[start:stop]))
+        return CompressedUnit(manifest=m, refs=refs, engine=self,
+                              tables=tables, nseq=nseq)
+
+    def recycle(self, unit: CompressedUnit) -> int:
+        """Return a unit's arena slots; returns the recycled count
+        (reference ``Recycle``, ``device.cc:321-327``)."""
+        self._entry_guard()
+        unit._check_live()
+        count = self.arena.recycle(unit.refs)
+        unit.recycled = True
+        return count
+
+
+# ---------------------------------------------------------------------------
+# Device-side staging transforms (jit-cached per static shape)
+
+
+@functools.partial(jax.jit, static_argnames=("comp_rows",))
+def _expand_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
+    """[n, slot] u8 -> [n, comp_rows + GUARD, 128] int32 byte planes."""
+    n = rows_u8.shape[0]
+    planes = rows_u8.astype(jnp.int32).reshape(n, comp_rows, 128)
+    return jnp.pad(planes, ((0, 0), (0, layout.GUARD_ROWS), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _planes_to_bytes(planes: jax.Array, block_size: int) -> jax.Array:
+    """[n, out_rows, 128] int32 -> [n, block_size] u8."""
+    n = planes.shape[0]
+    rows = block_size // 128
+    return planes[:, :rows, :].astype(jnp.uint8).reshape(n, block_size)

@@ -178,20 +178,27 @@ class DeviceArena:
         self._tracker: dict[int, int] = {}  # id(ref) -> slot
         self._write = jax.jit(_scatter_rows, donate_argnums=(0,))
         self._gather = jax.jit(_gather_rows)
+        # Data-plane mutex: writes donate the pool buffer in place, so two
+        # concurrent streams must not race on the handle (the reference
+        # guards its shared DeviceMemory pool the same way, memory.cc:162).
+        self._buf_lock = threading.Lock()
 
     # -- data plane ----------------------------------------------------
     def write_burst(self, slot_ids: list[int], rows: jax.Array) -> None:
         """Store ``rows[i]`` into slot ``slot_ids[i]`` (in-place on device)."""
         assert rows.ndim == 2 and rows.shape[1] == self.slot_size, rows.shape
         idx = jnp.asarray(np.asarray(slot_ids, dtype=np.int32))
-        self._buf = self._write(self._buf, rows, idx)
+        with self._buf_lock:
+            self._buf = self._write(self._buf, rows, idx)
 
     def gather_burst(self, slot_ids: list[int]) -> jax.Array:
         idx = jnp.asarray(np.asarray(slot_ids, dtype=np.int32))
-        return self._gather(self._buf, idx)
+        with self._buf_lock:
+            return self._gather(self._buf, idx)
 
     def read_host(self, ref: CompressedBlockRef) -> np.ndarray:
-        row = np.asarray(self._buf[ref.slot])
+        with self._buf_lock:
+            row = np.asarray(self._buf[ref.slot])
         return row[:ref.length]
 
     # -- control plane -------------------------------------------------

@@ -8,11 +8,18 @@ run in interpreter mode on CPU via the engine's ``interpret`` config knob.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Force CPU: the dev environment's sitecustomize registers the axon TPU
+# plugin and pins JAX_PLATFORMS=axon at interpreter start, so the env var
+# alone is not enough — override through jax.config before any backend
+# initializes.  Tests must be hermetic and able to fake an 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
