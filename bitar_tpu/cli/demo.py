@@ -1,0 +1,293 @@
+"""Demo / benchmark CLI.
+
+The TPU rebuild of the reference demo app (``apps/demo_app.cc``): ingest a
+file (raw bytes, or Parquet/Feather serialized to an Arrow IPC stream),
+run the synchronous and asynchronous benchmark suites 3x each, print
+duration + GB/s per phase, and verify decompressed output memcmp-equal to
+the original input (``demo_app.cc:487-546`` sync, ``:548-693`` async).
+
+Config tiers mirror the reference's three (``README.md:80-82``):
+EAL flags -> environment (JAX_PLATFORMS etc.), app flags -> this CLI,
+programmatic -> EngineConfig.
+
+Usage::
+
+    python -m bitar_tpu.cli.demo --file data.parquet --codec lz4
+    python -m bitar_tpu.cli.demo --file big.bin --bytes 1000000 --mode sync
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+
+import numpy as np
+
+from ..config import Checksum, Codec, EngineConfig
+from ..engine.device import Engine
+from ..engine.driver import Driver
+from ..engine.stream import (
+    ASYNC_RETURN_OK,
+    CompressParam,
+    DecompressParam,
+    make_streams,
+    wait_all,
+)
+from ..status import StatusError
+from ..utils.logging import get_logger
+from ..utils.timing import NUM_BENCH_RUNS, PhaseTiming, time_phase
+
+logger = get_logger("cli.demo")
+
+
+def cleanup_and_exit(code: int, message: str = "") -> None:
+    """Fatal-path exit (reference ``CleanupAndExit`` -> ``rte_exit``,
+    ``common.h:33-39``); jax cleans its runtime atexit."""
+    if message:
+        print(message, file=sys.stderr)
+    sys.exit(code)
+
+
+def install_signal_handlers() -> None:
+    """SIGINT/SIGTERM -> orderly exit (reference ``app_common.cc:54-63``)."""
+
+    def handler(signum, frame):
+        cleanup_and_exit(128 + signum, f"caught signal {signum}, exiting")
+
+    signal.signal(signal.SIGINT, handler)
+    signal.signal(signal.SIGTERM, handler)
+
+
+# ---------------------------------------------------------------------------
+# Ingest (reference ReadData, demo_app.cc:297-330)
+
+
+def read_data(path: str, nbytes: int | None = None) -> bytes:
+    """Read benchmark input: Parquet/Feather -> Arrow IPC stream bytes
+    (serialization timed 3x like the reference's SerializeTable,
+    ``demo_app.cc:144-193``), anything else -> raw bytes."""
+    lower = path.lower()
+    if lower.endswith((".parquet", ".feather", ".arrow")):
+        data = _read_arrow_table(path)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    if nbytes is not None:
+        if nbytes > len(data):
+            reps = -(-nbytes // max(1, len(data)))
+            data = (data * reps)[:nbytes]
+        else:
+            data = data[:nbytes]
+    return data
+
+
+def _read_arrow_table(path: str) -> bytes:
+    try:
+        import pyarrow as pa
+    except ImportError:
+        cleanup_and_exit(2, "pyarrow unavailable; pass a raw file instead")
+    import pyarrow.ipc
+
+    if path.lower().endswith(".parquet"):
+        import pyarrow.parquet as pq
+        table = pq.read_table(path)
+    else:
+        import pyarrow.feather as pf
+        table = pf.read_table(path)
+
+    out = None
+    for run in range(NUM_BENCH_RUNS):
+        t0 = time.perf_counter()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as writer:
+            writer.write_table(table)
+        out = sink.getvalue()
+        dt = time.perf_counter() - t0
+        logger.info("serialize table run %d: %.0f us (%.3f GB/s)",
+                    run, dt * 1e6, out.size / dt / 1e9)
+    return out.to_pybytes()
+
+
+# ---------------------------------------------------------------------------
+# Sync benchmark (reference EvaluateSync, demo_app.cc:487-546)
+
+
+def evaluate_sync(engine: Engine, data: bytes) -> list[PhaseTiming]:
+    timings = []
+    state = {}
+
+    def compress_once():
+        if "unit" in state:
+            engine.recycle(state["unit"])
+        state["unit"] = engine.compress(data)
+        return None
+
+    t = time_phase("sync compress", len(data), compress_once)
+    timings.append(t)
+    unit = state["unit"]
+    print(t.report(), f" ratio={unit.manifest.ratio():.3f}")
+
+    out_buf = np.empty(unit.manifest.total_raw, dtype=np.uint8)
+    state_out = {}
+
+    def decompress_once():
+        state_out["out"] = engine.decompress(unit, out=out_buf)
+        return None
+
+    t = time_phase("sync decompress", len(data), decompress_once)
+    timings.append(t)
+    print(t.report())
+
+    out = state_out["out"]
+    if out.tobytes() != data:
+        cleanup_and_exit(3, "VERIFY FAILED: sync round-trip not bit-exact")
+    print(f"sync verify OK ({len(data):,} bytes bit-exact)")
+    recycled = engine.recycle(unit)
+    assert recycled == unit.nblocks, (recycled, unit.nblocks)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+# Async benchmark (reference EvaluateAsync, demo_app.cc:548-693)
+
+
+def evaluate_async(engines: list[Engine], data: bytes, num_streams: int
+                   ) -> list[PhaseTiming]:
+    seg = len(data) // num_streams
+    segments = [data[i * seg:(i + 1) * seg] for i in range(num_streams - 1)]
+    segments.append(data[(num_streams - 1) * seg:])
+    streams = make_streams(engines, num_streams)
+    timings = []
+    try:
+        units: dict[int, object] = {}
+        for run in range(NUM_BENCH_RUNS):
+            for u in units.values():
+                u.engine.recycle(u)
+            units.clear()
+            done_at = {}
+
+            def make_cb(i):
+                def cb(s, result):
+                    units[i] = result.value()
+                    done_at[i] = time.perf_counter()
+                    return ASYNC_RETURN_OK
+                return cb
+
+            t0 = time.perf_counter()
+            for i, s in enumerate(streams):
+                st = s.compress_async(CompressParam(
+                    engine=s.engine, data=segments[i],
+                    result_callback=make_cb(i)))
+                if not st.ok():
+                    cleanup_and_exit(4, f"stream {i} submit failed: {st}")
+            rcs = wait_all(streams)
+            t1 = max(done_at.values())
+            if rcs != [ASYNC_RETURN_OK] * num_streams:
+                cleanup_and_exit(4, f"async compress rc={rcs}")
+            timings.append(PhaseTiming(
+                "async compress", len(data), [t1 - t0]))
+            print(timings[-1].report(), f"(run {run}, {num_streams} streams)")
+
+        outs: dict[int, np.ndarray] = {}
+        for run in range(NUM_BENCH_RUNS):
+            outs.clear()
+            done_at = {}
+
+            def make_dcb(i):
+                def cb(s, result):
+                    outs[i] = result.value()
+                    done_at[i] = time.perf_counter()
+                    return ASYNC_RETURN_OK
+                return cb
+
+            t0 = time.perf_counter()
+            for i, s in enumerate(streams):
+                st = s.decompress_async(DecompressParam(
+                    engine=s.engine, unit=units[i],
+                    result_callback=make_dcb(i)))
+                if not st.ok():
+                    cleanup_and_exit(4, f"stream {i} submit failed: {st}")
+            rcs = wait_all(streams)
+            t1 = max(done_at.values())
+            if rcs != [ASYNC_RETURN_OK] * num_streams:
+                cleanup_and_exit(4, f"async decompress rc={rcs}")
+            timings.append(PhaseTiming(
+                "async decompress", len(data), [t1 - t0]))
+            print(timings[-1].report(), f"(run {run})")
+
+        # Per-segment verification (demo_app.cc:666-691).
+        total = sum(o.shape[0] for o in outs.values())
+        if total != len(data):
+            cleanup_and_exit(3, f"VERIFY FAILED: total {total} != {len(data)}")
+        for i in range(num_streams):
+            if outs[i].tobytes() != segments[i]:
+                cleanup_and_exit(3, f"VERIFY FAILED: segment {i} differs")
+        print(f"async verify OK ({num_streams} segments bit-exact)")
+        for u in units.values():
+            recycled = u.engine.recycle(u)
+            assert recycled == u.nblocks
+    finally:
+        for s in streams:
+            s.close()
+    return timings
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bitar-tpu-demo",
+        description="TPU block compression benchmark (bitar demo_app rebuild)")
+    p.add_argument("--file", required=True, help="input file (raw/parquet/feather)")
+    p.add_argument("--bytes", type=int, default=None,
+                   help="truncate or repeat input to this many bytes")
+    p.add_argument("--mode", choices=["all", "sync", "async"], default="all")
+    p.add_argument("--codec", choices=[c.value for c in Codec], default="lz4")
+    p.add_argument("--block-size", type=int, default=128 * 1024)
+    p.add_argument("--burst-size", type=int, default=32)
+    p.add_argument("--streams", type=int, default=4)
+    p.add_argument("--backend", choices=["tpu", "host"], default="tpu",
+                   help="decompress path: Pallas kernels or native host codecs")
+    p.add_argument("--checksum", choices=[c.value for c in Checksum],
+                   default="none")
+    p.add_argument("--pool-slots", type=int, default=None,
+                   help="arena slots (default: sized to input like the "
+                        "reference, app_common.cc:92-100)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    install_signal_handlers()
+    args = build_parser().parse_args(argv)
+    data = read_data(args.file, args.bytes)
+    print(f"input: {len(data):,} bytes, codec={args.codec}, "
+          f"block={args.block_size}, mode={args.mode}")
+
+    nblocks = -(-len(data) // args.block_size)
+    pool = args.pool_slots or max(64, nblocks + args.burst_size)
+    cfg = EngineConfig(
+        codec=Codec(args.codec), block_size=args.block_size,
+        burst_size=args.burst_size, checksum=Checksum(args.checksum),
+        max_pool_slots=pool, use_tpu_kernels=(args.backend == "tpu"))
+
+    driver = Driver.instance()
+    print("topology:", driver.describe())
+    engines = driver.get_engines(cfg)
+    try:
+        if args.mode in ("all", "sync"):
+            evaluate_sync(engines[0], data)
+        if args.mode in ("all", "async"):
+            evaluate_async(engines, data, args.streams)
+    except StatusError as e:
+        cleanup_and_exit(1, f"FAILED: {e.status}")
+    finally:
+        for e in engines:
+            e.release()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

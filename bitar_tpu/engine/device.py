@@ -301,9 +301,28 @@ class Engine:
         self.stats.bytes_decompressed += int(m.total_raw)
         return out[:m.total_raw]
 
-    def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
+    def decompress_device(self, unit: CompressedUnit) -> list:
+        """Decompress entirely on device: returns the list of per-burst
+        ``[burst, block_size]`` uint8 device arrays, in block order, with
+        no host readout.
+
+        This is the production-shaped path: decompressed blocks normally
+        feed further device compute (the zero-copy contract), and on the
+        dev tunnel host readout dominates any measurement.  ``decompress``
+        wraps this with readout + reassembly."""
+        self._entry_guard()
+        unit._check_live()
+        if unit.tables is None:
+            raise StatusError(Status.NotImplemented(
+                "device-resident decompress requires a TPU-decodable unit "
+                "(lz4/snappy/raw with sequence sidecar)"))
+        return [fut for _, _, fut in self._decode_bursts(unit)]
+
+    def _decode_bursts(self, unit: CompressedUnit):
         """Burst-pipelined Pallas decode: arena gather -> plane expand ->
-        kernel grid -> host readout, ``burst_size`` blocks per dispatch."""
+        kernel grid, ``burst_size`` blocks per dispatch.  Returns
+        [(start, stop, device_bytes [burst, block_size])] with dispatches
+        already in flight (jax async)."""
         m = unit.manifest
         cfg = self.config
         burst = cfg.burst_size
@@ -336,14 +355,18 @@ class Engine:
                 interpret=cfg.interpret)
             futures.append((start, stop, _planes_to_bytes(result, cfg.block_size)))
             self.stats.enqueued_blocks += nb
+        self.stats.tpu_decode_bursts += len(futures)
+        return futures
+
+    def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
+        m = unit.manifest
         # Join in order (jax dispatch already overlapped the bursts).
-        for start, stop, fut in futures:
+        for start, stop, fut in self._decode_bursts(unit):
             host = np.asarray(fut)                         # [nb, block_size] u8
             for i in range(start, stop):
                 o, ln = int(m.raw_off[i]), int(m.raw_len[i])
                 out[o:o + ln] = host[i - start, :ln]
             self.stats.dequeued_blocks += stop - start
-        self.stats.tpu_decode_bursts += len(futures)
 
     def _decompress_host(self, unit: CompressedUnit, out: np.ndarray) -> None:
         m = unit.manifest
