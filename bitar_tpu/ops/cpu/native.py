@@ -22,7 +22,7 @@ from ...status import Status, StatusError
 _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
-_SOURCES = ["lz4.cc", "snappy.cc", "batch.cc"]
+_SOURCES = ["lz4.cc", "snappy.cc", "batch.cc", "plan.cc"]
 _ABI_VERSION = 1
 
 _lock = threading.Lock()
@@ -75,9 +75,21 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fn.restype = None
         fn.argtypes = [ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
                        u8p, i64p, i32p, u8p, i64p, i32p, i32p]
+    lib.bt_plan_rows.restype = ctypes.c_int
+    lib.bt_plan_rows.argtypes = [ctypes.c_int] + [i32p] * 5 + \
+        [ctypes.c_int] * 3 + [i32p] * 5
+    lib.bt_plan_block.restype = ctypes.c_int
+    lib.bt_plan_block.argtypes = [ctypes.c_int, u8p] + [ctypes.c_int] * 4 + [i32p] * 5
+    lib.bt_set_split_limit.restype = None
+    lib.bt_set_split_limit.argtypes = [ctypes.c_int]
     lib.bt_abi_version.restype = ctypes.c_int
     lib.bt_abi_version.argtypes = []
     return lib
+
+
+def set_split_limit(v: int) -> None:
+    """Tune the planner's comp-resolution split limit."""
+    load().bt_set_split_limit(int(v))
 
 
 def load() -> ctypes.CDLL:
@@ -179,6 +191,30 @@ def parse_sequences(data, codec: str = "lz4", max_seq: int | None = None):
                    _i32ptr(cols["off"]), _i32ptr(cols["mlen"]),
                    _i32ptr(cols["out_pos"])), f"{codec}_parse")
     return {k: v[:rc] for k, v in cols.items()}
+
+
+def plan_block(data, out_len: int, nrows: int, max_passes: int = 32,
+               codec: str = "lz4"):
+    """Build the scheduled decode plan for one compressed block.
+
+    Returns (P, p0, cols) where ``cols`` holds r_dstart/r_dend/r_shift of
+    shape [max_passes, nrows] int32; passes [0, p0) read the comp plane and
+    [p0, P) read the output plane.  Returns (None, None, None) when the
+    block exceeds the pass budget (caller falls back to the scalar kernel).
+    """
+    src = _as_u8(data)
+    cols = {k: np.zeros((max_passes, nrows), dtype=np.int32)
+            for k in ("r_dstart", "r_dend", "r_shift")}
+    pass_space = np.zeros(max_passes, dtype=np.int32)
+    p0 = np.zeros(1, dtype=np.int32)
+    rc = load().bt_plan_block(
+        _CODEC_INT[codec], _u8ptr(src), len(src), out_len, nrows, max_passes,
+        _i32ptr(cols["r_dstart"]), _i32ptr(cols["r_dend"]),
+        _i32ptr(cols["r_shift"]), _i32ptr(pass_space), _i32ptr(p0))
+    if rc == -6:  # CAPACITY: pass budget exceeded
+        return None, None, None
+    _check(rc, "plan_block")
+    return rc, int(p0[0]), cols
 
 
 _CODEC_INT = {"lz4": 0, "snappy": 1, "zstd": 2, "raw": 3}

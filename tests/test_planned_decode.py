@@ -1,0 +1,126 @@
+"""Plan-execute decoder tests: the C++ planner (fragment scheduling) against
+a numpy executor, and the Pallas planned kernel end-to-end through the
+engine (interpreter mode).
+"""
+
+import numpy as np
+import pytest
+
+import bitar_tpu as bt
+from bitar_tpu.ops.cpu import native
+
+BLOCK = 16 * 1024           # smallest planned-kernel block (128 rows)
+NROWS = BLOCK // 128
+
+
+def exec_plan_numpy(P, p0, cols, comp, n, nrows):
+    """Numpy oracle with the kernel's exact semantics."""
+    out = np.zeros(nrows * 128, dtype=np.int64)
+    carr = np.asarray(comp, dtype=np.int64)
+    p = np.arange(nrows * 128)
+    for k in range(P):
+        dstart = np.repeat(cols["r_dstart"][k], 128)
+        dend = np.repeat(cols["r_dend"][k], 128)
+        shift = np.repeat(cols["r_shift"][k], 128)
+        active = (p >= dstart) & (p < dend)
+        src = carr if k < p0 else out
+        vals = src[np.clip(p + shift, 0, len(src) - 1)]
+        out = np.where(active, vals, out)
+    return out[:n].astype(np.uint8)
+
+
+def cases(rng, n):
+    return {
+        "text": ((b"plan me please! " * (n // 14 + 2))[:n]),
+        "random": bytes(rng.integers(0, 256, n, dtype=np.uint8)),
+        "rle": b"\x37" * n,
+        "pat8": (b"abcdefgh" * (n // 8 + 1))[:n],
+        "struct": np.repeat(np.arange(n // 16 + 1, dtype=np.uint8), 16
+                            ).tobytes()[:n],
+    }
+
+
+@pytest.mark.parametrize("codec", ["lz4", "snappy"])
+def test_planner_numpy_oracle(codec, rng):
+    for name, data in cases(rng, 5000).items():
+        comp = (native.lz4_compress(data) if codec == "lz4"
+                else native.snappy_compress(data))
+        nr = max(1, -(-len(data) // 128))
+        P, p0, cols = native.plan_block(comp, len(data), nr,
+                                        max_passes=96, codec=codec)
+        if P is None:
+            continue  # unplannable blocks fall back; covered elsewhere
+        got = exec_plan_numpy(P, p0, cols, comp, len(data), nr)
+        assert got.tobytes() == data, f"{name}/{codec}"
+
+
+def test_planner_fuzz(rng):
+    fails = 0
+    for trial in range(60):
+        n = int(rng.integers(1, 4000))
+        kind = trial % 4
+        if kind == 0:
+            d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif kind == 1:
+            d = bytes(rng.integers(0, 4, n, dtype=np.uint8))
+        elif kind == 2:
+            d = bytes([trial & 0xFF]) * n
+        else:
+            d = ((b"w%d " % trial) * (n // 3 + 2))[:n]
+        for codec in ("lz4", "snappy"):
+            comp = (native.lz4_compress(d) if codec == "lz4"
+                    else native.snappy_compress(d))
+            nr = max(1, -(-len(d) // 128))
+            P, p0, cols = native.plan_block(comp, len(d), nr,
+                                            max_passes=96, codec=codec)
+            if P is None:
+                continue
+            if exec_plan_numpy(P, p0, cols, comp, len(d), nr).tobytes() != d:
+                fails += 1
+    assert fails == 0
+
+
+def test_planner_rejects_bad_out_len():
+    comp = native.lz4_compress(b"hello world " * 100)
+    with pytest.raises(bt.StatusError):
+        native.plan_block(comp, 999999, 128, max_passes=96, codec="lz4")
+
+
+def planned_engine(**kw):
+    base = dict(codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=4,
+                max_pool_slots=32, use_tpu_kernels=True, interpret=True)
+    base.update(kw)
+    return bt.Engine(bt.EngineConfig(**base)).initialize()
+
+
+def test_engine_planned_path_roundtrip(rng):
+    with planned_engine() as eng:
+        data = (b"engine planned path " * 2000)[:2 * BLOCK + 777]
+        unit = eng.compress(data)
+        assert unit.plan_se is not None, "expected planned unit"
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
+
+
+def test_engine_planned_mixed_entropy(rng):
+    with planned_engine() as eng:
+        data = (rng.integers(0, 256, BLOCK, dtype=np.uint8).tobytes()
+                + b"\x00" * BLOCK
+                + (b"abcabcabc" * (BLOCK // 9 + 1))[:BLOCK])
+        unit = eng.compress(data)
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
+
+
+def test_engine_small_blocks_fall_back_to_tables(rng):
+    # block < 16 KiB -> no plan; sequence-table kernel path still works
+    cfg = dict(block_size=1024, burst_size=4)
+    with planned_engine(**cfg) as eng:
+        data = (b"fallback " * 300)[:2500]
+        unit = eng.compress(data)
+        assert unit.plan_se is None and unit.tables is not None
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
