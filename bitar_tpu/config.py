@@ -176,6 +176,9 @@ class EngineConfig:
     pipeline_depth: int = 2             # double-buffered HBM->VMEM staging depth
     use_tpu_kernels: bool = True        # False -> host (native C++) codec path
     interpret: bool = False             # run Pallas kernels in interpreter mode
+    bucket_passes: bool = False         # group decode launches by plan depth
+                                        # (wins when per-launch cost is low;
+                                        # the dev tunnel prefers one launch)
 
     # ------------------------------------------------------------------
     @property

@@ -428,44 +428,64 @@ class Engine:
         self.stats.tpu_decode_bursts += len(futures)
         return futures
 
+    _PASS_BUCKETS = (4, 8, 16, 32, 64, 96)
+
     def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
                                 ) -> None:
-        """Fast path: scheduled-fragment Pallas decode, burst-pipelined."""
+        """Fast path: scheduled-fragment Pallas decode, burst-pipelined.
+
+        Blocks are grouped into pass-count buckets so a burst of shallow
+        plans (e.g. stored/random blocks, 1-4 passes) does not pay the
+        dense plan wire of the unit's deepest block — plan bytes streamed
+        per launch scale with the bucket, not the unit maximum."""
         m = unit.manifest
         cfg = self.config
         burst = cfg.burst_size
         nrows = cfg.block_size // 128
         comp_rows = unit.plan_comp_rows
         n = m.nblocks
+
+        groups: dict[int, list[int]] = {}
+        if cfg.bucket_passes:
+            for i in range(n):
+                p = int(unit.plan_p_used[i])
+                bucket = next((b for b in self._PASS_BUCKETS if p <= b),
+                              unit.plan_passes)
+                bucket = min(bucket, unit.plan_passes)
+                groups.setdefault(bucket, []).append(i)
+        else:
+            groups[unit.plan_passes] = list(range(n))
+
         futures = []
-        for start in range(0, n, burst):
-            stop = min(n, start + burst)
-            nb = stop - start
-            slots = [r.slot for r in unit.refs[start:stop]]
-            slots += [slots[-1]] * (burst - nb)
-            se = np.zeros((burst, unit.plan_passes, nrows), np.int32)
-            shift = np.zeros_like(se)
-            p_used = np.zeros(burst, np.int32)
-            se[:nb] = unit.plan_se[start:stop]
-            shift[:nb] = unit.plan_shift[start:stop]
-            p_used[:nb] = unit.plan_p_used[start:stop]
-            rows = self.arena.gather_burst(slots)          # [burst, slot] u8
-            planes = _u8_rows_to_planes(rows, comp_rows)
-            result = decode_blocks_planned(
-                planes, jnp.asarray(p_used),
-                jnp.asarray(se.reshape(burst, unit.plan_passes, nrows // 128, 128)),
-                jnp.asarray(shift.reshape(burst, unit.plan_passes, nrows // 128, 128)),
-                passes=unit.plan_passes, comp_rows=comp_rows,
-                out_rows=nrows, interpret=cfg.interpret)
-            futures.append((start, stop, result))
-            self.stats.enqueued_blocks += nb
+        for bucket, idxs in sorted(groups.items()):
+            for start in range(0, len(idxs), burst):
+                chunk = idxs[start:start + burst]
+                nb = len(chunk)
+                slots = [unit.refs[i].slot for i in chunk]
+                slots += [slots[-1]] * (burst - nb)
+                se = np.zeros((burst, bucket, nrows), np.int32)
+                shift = np.zeros_like(se)
+                p_used = np.zeros(burst, np.int32)
+                se[:nb] = unit.plan_se[chunk, :bucket]
+                shift[:nb] = unit.plan_shift[chunk, :bucket]
+                p_used[:nb] = unit.plan_p_used[chunk]
+                rows = self.arena.gather_burst(slots)      # [burst, slot] u8
+                planes = _u8_rows_to_planes(rows, comp_rows)
+                result = decode_blocks_planned(
+                    planes, jnp.asarray(p_used),
+                    jnp.asarray(se.reshape(burst, bucket, nrows // 128, 128)),
+                    jnp.asarray(shift.reshape(burst, bucket, nrows // 128, 128)),
+                    passes=bucket, comp_rows=comp_rows,
+                    out_rows=nrows, interpret=cfg.interpret)
+                futures.append((chunk, result))
+                self.stats.enqueued_blocks += nb
         self.stats.tpu_decode_bursts += len(futures)
-        for start, stop, fut in futures:
+        for chunk, fut in futures:
             host = np.asarray(fut)                         # [burst, nrows, 128] u8
-            for i in range(start, stop):
+            for j, i in enumerate(chunk):
                 o, ln = int(m.raw_off[i]), int(m.raw_len[i])
-                out[o:o + ln] = host[i - start].reshape(-1)[:ln]
-            self.stats.dequeued_blocks += stop - start
+                out[o:o + ln] = host[j].reshape(-1)[:ln]
+            self.stats.dequeued_blocks += len(chunk)
 
     def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
         m = unit.manifest
