@@ -179,6 +179,10 @@ class EngineConfig:
     bucket_passes: bool = False         # group decode launches by plan depth
                                         # (wins when per-launch cost is low;
                                         # the dev tunnel prefers one launch)
+    compress_matcher: str = "host"      # "host" (hash matcher, quality) or
+                                        # "tpu" (Pallas candidate-offset
+                                        # matcher; LZ4, 16KiB-aligned blocks)
+    match_offsets: tuple[int, ...] = () # () -> kernel default candidate set
 
     # ------------------------------------------------------------------
     @property
@@ -231,6 +235,15 @@ class EngineConfig:
             return Status.Invalid(f"window_log {self.window_log} outside [8, 27]")
         if self.level < 0 or self.level > 22:
             return Status.Invalid(f"level {self.level} outside [0, 22]")
+        if self.compress_matcher not in ("host", "tpu"):
+            return Status.Invalid(
+                f"compress_matcher {self.compress_matcher!r} not in (host, tpu)")
+        if self.compress_matcher == "tpu":
+            if self.codec != Codec.LZ4:
+                return Status.Invalid("tpu matcher supports LZ4 only")
+            if self.block_size % (128 * 128) != 0:
+                return Status.Invalid(
+                    "tpu matcher needs block_size % 16384 == 0 (lane-tiled rows)")
         return Status.OK()
 
     def replace(self, **kw) -> "EngineConfig":

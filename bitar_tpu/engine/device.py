@@ -201,9 +201,12 @@ class Engine:
         dst_off = np.arange(n, dtype=np.int64) * slot
         caps = np.full(n, slot, dtype=np.int32)
         self.stats.enqueued_blocks += n
-        dst_len, status = registry.host_compress_batch(
-            cfg.codec, cfg.level, raw, manifest.raw_off,
-            manifest.raw_len, staging.reshape(-1), dst_off, caps)
+        if cfg.compress_matcher == "tpu" and cfg.codec == Codec.LZ4:
+            dst_len, status = self._compress_tpu_match(raw, manifest, staging)
+        else:
+            dst_len, status = registry.host_compress_batch(
+                cfg.codec, cfg.level, raw, manifest.raw_off,
+                manifest.raw_len, staging.reshape(-1), dst_off, caps)
         bad = np.flatnonzero(status < 0)
         if bad.size:
             self.stats.enqueue_err_blocks += int(bad.size)
@@ -278,6 +281,43 @@ class Engine:
         return tables, nseq
 
     # ------------------------------------------------------------------
+    def _compress_tpu_match(self, raw: np.ndarray, manifest: BlockManifest,
+                            staging: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """Compress with the Pallas candidate-offset match kernel.
+
+        The device scores matches for every byte position; the native host
+        emitter verifies/extends the hints and produces the standard LZ4
+        stream (see ops/pallas/lz4_match.py for the search design)."""
+        from ..ops.pallas.lz4_match import DEFAULT_OFFSETS, find_matches
+
+        cfg = self.config
+        offsets = tuple(cfg.match_offsets) or DEFAULT_OFFSETS
+        nrows = cfg.block_size // 128
+        n = manifest.nblocks
+        planes = np.zeros((n, nrows, 128), np.uint8)
+        for i in range(n):
+            o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
+            planes[i].reshape(-1)[:ln] = raw[o:o + ln]
+        mlen, oidx = find_matches(
+            jnp.asarray(planes), offsets=offsets, nrows=nrows,
+            interpret=cfg.interpret)
+        mlen = np.asarray(mlen)
+        oidx = np.asarray(oidx)
+        dst_len = np.zeros(n, np.int32)
+        status = np.zeros(n, np.int32)
+        for i in range(n):
+            o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
+            try:
+                comp = native.lz4_emit_sequences(
+                    raw[o:o + ln], mlen[i].reshape(-1), oidx[i].reshape(-1),
+                    offsets, dst_cap=staging.shape[1])
+                staging[i, :comp.shape[0]] = comp
+                dst_len[i] = comp.shape[0]
+            except StatusError as e:
+                status[i] = e.status.to_int()
+        return dst_len, status
+
     _PLAN_MAX_PASSES = 96
 
     def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):

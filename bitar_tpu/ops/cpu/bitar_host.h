@@ -40,6 +40,15 @@ int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 /* LZ4 block decompress; returns decompressed length or negative code. */
 int bt_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 
+/* Greedy LZ4 emission from accelerator match hints: mlen/off_idx are
+ * per-position arrays (src_len entries) from the TPU match kernel;
+ * off_idx indexes into `offsets`.  Hints are verified and extended before
+ * emission.  Returns compressed length or negative code. */
+int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
+                          const int32_t* mlen, const int32_t* off_idx,
+                          const int32_t* offsets, int noffsets, uint8_t* dst,
+                          int dst_cap);
+
 /* Parse an LZ4 block into a sequence table (SoA). For sequence s:
  *   lit_ptr[s]  byte offset in src of the first literal byte
  *   lit_len[s]  number of literal bytes

@@ -129,6 +129,52 @@ extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
   return d;
 }
 
+extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
+                                     const int32_t* mlen,
+                                     const int32_t* off_idx,
+                                     const int32_t* offsets, int noffsets,
+                                     uint8_t* dst, int dst_cap) {
+  // Greedy LZ4 emission from accelerator match hints (see
+  // ops/pallas/lz4_match.py).  The hints are TRUSTED ONLY as "a match of
+  // >= 4 bytes likely starts here at this offset": every match is
+  // re-verified and extended by direct comparison, so kernel edge effects
+  // (padding runs, roll wrap-around) can never corrupt the stream, and
+  // matches longer than the kernel's cap are fully captured.
+  if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
+      dst == nullptr || noffsets <= 0) {
+    return BT_ERR_INVALID;
+  }
+  const int mflimit = src_len - kMfLimitDist;
+  const int matchlimit = src_len - kLastLiterals;
+  int i = 0;
+  int anchor = 0;
+  int d = 0;
+  while (i < mflimit) {
+    const int32_t hint = mlen[i];
+    if (hint >= kMinMatch) {
+      const int32_t idx = off_idx[i];
+      if (idx >= 0 && idx < noffsets) {
+        const int32_t off = offsets[idx];
+        if (off >= 1 && off <= i && off <= 65535) {
+          int ml = 0;
+          while (i + ml < matchlimit && src[i + ml] == src[i - off + ml]) ++ml;
+          if (ml >= kMinMatch) {
+            d = EmitSequence(dst, dst_cap, d, src + anchor, i - anchor, off,
+                             ml);
+            if (d < 0) return d;
+            i += ml;
+            anchor = i;
+            continue;
+          }
+        }
+      }
+    }
+    ++i;
+  }
+  d = EmitSequence(dst, dst_cap, d, src + anchor, src_len - anchor, 0, -1);
+  return d;
+}
+
 extern "C" int bt_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst,
                                  int dst_cap) {
   if (src_len <= 0 || dst_cap < 0 || src == nullptr || dst == nullptr) {

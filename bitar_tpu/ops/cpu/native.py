@@ -80,6 +80,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         [ctypes.c_int] * 3 + [i32p] * 5
     lib.bt_plan_block.restype = ctypes.c_int
     lib.bt_plan_block.argtypes = [ctypes.c_int, u8p] + [ctypes.c_int] * 4 + [i32p] * 5
+    lib.bt_lz4_emit_sequences.restype = ctypes.c_int
+    lib.bt_lz4_emit_sequences.argtypes = [u8p, ctypes.c_int, i32p, i32p, i32p,
+                                          ctypes.c_int, u8p, ctypes.c_int]
     lib.bt_set_split_limit.restype = None
     lib.bt_set_split_limit.argtypes = [ctypes.c_int]
     lib.bt_abi_version.restype = ctypes.c_int
@@ -90,6 +93,23 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 def set_split_limit(v: int) -> None:
     """Tune the planner's comp-resolution split limit."""
     load().bt_set_split_limit(int(v))
+
+
+def lz4_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,
+                       offsets, dst_cap: int | None = None) -> np.ndarray:
+    """Emit an LZ4 block from TPU match-kernel hints (verified on emit)."""
+    src = _as_u8(data)
+    n = len(src)
+    if dst_cap is None:
+        dst_cap = n + n // 255 + 16
+    dst = np.empty(dst_cap, dtype=np.uint8)
+    mlen = np.ascontiguousarray(mlen[:n], dtype=np.int32)
+    off_idx = np.ascontiguousarray(off_idx[:n], dtype=np.int32)
+    offs = np.ascontiguousarray(offsets, dtype=np.int32)
+    rc = _check(load().bt_lz4_emit_sequences(
+        _u8ptr(src), n, _i32ptr(mlen), _i32ptr(off_idx), _i32ptr(offs),
+        len(offs), _u8ptr(dst), dst_cap), "lz4_emit_sequences")
+    return dst[:rc]
 
 
 def load() -> ctypes.CDLL:

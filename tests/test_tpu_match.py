@@ -1,0 +1,83 @@
+"""TPU match-kernel compression tests (interpreter mode)."""
+
+import numpy as np
+import pytest
+
+import bitar_tpu as bt
+from bitar_tpu.ops.cpu import native
+from bitar_tpu.ops.pallas.lz4_match import DEFAULT_OFFSETS, find_matches
+
+BLOCK = 16 * 1024
+NROWS = BLOCK // 128
+
+
+def run_matcher(datas):
+    planes = np.zeros((len(datas), NROWS, 128), np.uint8)
+    for i, d in enumerate(datas):
+        planes[i].reshape(-1)[:len(d)] = np.frombuffer(d, np.uint8)
+    ml, oi = find_matches(planes, nrows=NROWS, interpret=True)
+    return np.asarray(ml), np.asarray(oi)
+
+
+def test_matcher_roundtrip_and_ratios(rng):
+    cases = {
+        "rle": b"\x42" * BLOCK,
+        "pat8": b"abcdefgh" * (BLOCK // 8),
+        "struct16": np.repeat(np.arange(BLOCK // 16, dtype=np.uint8),
+                              16).tobytes()[:BLOCK],
+        "random": bytes(rng.integers(0, 256, BLOCK, dtype=np.uint8)),
+        "stride128": bytes(rng.integers(0, 256, 128, dtype=np.uint8)
+                           ) * (BLOCK // 128),
+    }
+    datas = list(cases.values())
+    ml, oi = run_matcher(datas)
+    ratios = {}
+    for i, (name, d) in enumerate(cases.items()):
+        comp = native.lz4_emit_sequences(
+            d, ml[i].reshape(-1), oi[i].reshape(-1), DEFAULT_OFFSETS)
+        back = native.lz4_decompress(comp, BLOCK + 1)
+        assert back.tobytes() == d, name  # standard-format round trip
+        # interop: the oracle decoder (pyarrow path exercised elsewhere)
+        ratios[name] = BLOCK / len(comp)
+    assert ratios["rle"] > 100
+    assert ratios["pat8"] > 100
+    assert ratios["struct16"] > 5
+    assert ratios["stride128"] > 50
+    assert 0.95 < ratios["random"] <= 1.01
+
+
+def test_matcher_hint_verification_is_safe(rng):
+    # Corrupt hints must never corrupt output: the emitter verifies.
+    d = bytes(rng.integers(0, 8, BLOCK, dtype=np.uint8))
+    mlen = np.full(BLOCK, 64, np.int32)             # lie: match everywhere
+    oidx = rng.integers(0, len(DEFAULT_OFFSETS), BLOCK).astype(np.int32)
+    comp = native.lz4_emit_sequences(d, mlen, oidx, DEFAULT_OFFSETS)
+    assert native.lz4_decompress(comp, BLOCK + 1).tobytes() == d
+
+
+def test_engine_tpu_matcher_end_to_end(rng):
+    cfg = bt.EngineConfig(
+        codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=4,
+        max_pool_slots=32, use_tpu_kernels=True, interpret=True,
+        compress_matcher="tpu")
+    with bt.Engine(cfg) as eng:
+        data = (b"\x11" * BLOCK                            # RLE
+                + bytes(rng.integers(0, 256, 128, dtype=np.uint8)) * (BLOCK // 128)
+                + bytes(rng.integers(0, 256, BLOCK, dtype=np.uint8)))
+        unit = eng.compress(data)
+        assert unit.manifest.ratio() > 2.0
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
+
+
+def test_config_rejects_bad_matcher_combos():
+    st = bt.EngineConfig(codec=bt.Codec.SNAPPY,
+                         compress_matcher="tpu").validate(bt.capabilities_for_platform("cpu"))
+    assert not st.ok() and "LZ4" in st.message
+    st = bt.EngineConfig(block_size=1024,
+                         compress_matcher="tpu").validate(bt.capabilities_for_platform("cpu"))
+    assert not st.ok()
+    with pytest.raises(Exception):
+        bt.EngineConfig(compress_matcher="gpu").validate(
+            bt.capabilities_for_platform("cpu")).raise_if_error()
