@@ -244,7 +244,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--file", required=True, help="input file (raw/parquet/feather)")
     p.add_argument("--bytes", type=int, default=None,
                    help="truncate or repeat input to this many bytes")
-    p.add_argument("--mode", choices=["all", "sync", "async"], default="all")
+    p.add_argument("--mode",
+                   choices=["all", "sync", "async", "compress", "decompress"],
+                   default="all",
+                   help="benchmark suites, or one-shot file "
+                        "compress/decompress (container format)")
+    p.add_argument("--output", default=None,
+                   help="output path for compress/decompress modes")
+    p.add_argument("--matcher", choices=["host", "tpu"], default="host",
+                   help="LZ4 match finding: host hash matcher or the "
+                        "Pallas candidate-offset kernel")
     p.add_argument("--codec", choices=[c.value for c in Codec], default="lz4")
     p.add_argument("--block-size", type=int, default=128 * 1024)
     p.add_argument("--burst-size", type=int, default=32)
@@ -259,10 +268,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def run_compress_file(engine: Engine, data: bytes, out_path: str) -> None:
+    """One-shot: file -> .btpu container (manifest + packed blocks)."""
+    unit = engine.compress(data)
+    blob = unit.to_host().to_bytes()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    print(f"compressed {len(data):,} -> {len(blob):,} bytes "
+          f"(ratio {unit.manifest.ratio():.3f}, {unit.nblocks} blocks) "
+          f"-> {out_path}")
+    engine.recycle(unit)
+
+
+def run_decompress_file(engine: Engine, raw: bytes, out_path: str) -> None:
+    """One-shot: .btpu container -> original bytes (checksum-verified)."""
+    from ..manifest import CompressedBuffers
+
+    cb = CompressedBuffers.from_bytes(raw)
+    unit = engine.import_unit(cb)
+    out = engine.decompress(unit)
+    with open(out_path, "wb") as f:
+        f.write(out.tobytes())
+    print(f"decompressed {len(raw):,} -> {out.shape[0]:,} bytes -> {out_path}")
+    engine.recycle(unit)
+
+
 def main(argv: list[str] | None = None) -> int:
     install_signal_handlers()
     args = build_parser().parse_args(argv)
-    data = read_data(args.file, args.bytes)
+    if args.mode == "decompress":
+        with open(args.file, "rb") as f:
+            data = f.read()
+    else:
+        data = read_data(args.file, args.bytes)
     print(f"input: {len(data):,} bytes, codec={args.codec}, "
           f"block={args.block_size}, mode={args.mode}")
 
@@ -271,16 +309,26 @@ def main(argv: list[str] | None = None) -> int:
     cfg = EngineConfig(
         codec=Codec(args.codec), block_size=args.block_size,
         burst_size=args.burst_size, checksum=Checksum(args.checksum),
-        max_pool_slots=pool, use_tpu_kernels=(args.backend == "tpu"))
+        max_pool_slots=pool, use_tpu_kernels=(args.backend == "tpu"),
+        compress_matcher=args.matcher)
 
     driver = Driver.instance()
     print("topology:", driver.describe())
     engines = driver.get_engines(cfg)
     try:
-        if args.mode in ("all", "sync"):
-            evaluate_sync(engines[0], data)
-        if args.mode in ("all", "async"):
-            evaluate_async(engines, data, args.streams)
+        if args.mode == "compress":
+            run_compress_file(engines[0], data,
+                              args.output or args.file + ".btpu")
+        elif args.mode == "decompress":
+            out_path = args.output or (
+                args.file[:-5] if args.file.endswith(".btpu")
+                else args.file + ".out")
+            run_decompress_file(engines[0], data, out_path)
+        else:
+            if args.mode in ("all", "sync"):
+                evaluate_sync(engines[0], data)
+            if args.mode in ("all", "async"):
+                evaluate_async(engines, data, args.streams)
     except StatusError as e:
         cleanup_and_exit(1, f"FAILED: {e.status}")
     finally:

@@ -1,5 +1,6 @@
 """Multi-chip / multi-host parallel execution layer."""
 
+from . import multihost
 from .pipeline import distributed_step, prepare_distributed_step, reorder_tables_for_recv
 from .sharding import (
     BLOCKS_AXIS,
@@ -13,6 +14,7 @@ from .shuffle import ShufflePlan, execute_shuffle, hash_partition, plan_shuffle
 
 __all__ = [
     "BLOCKS_AXIS",
+    "multihost",
     "ShufflePlan",
     "distributed_step",
     "execute_shuffle",
