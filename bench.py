@@ -19,10 +19,15 @@ Run: ``python bench.py``; the LAST stdout line is the JSON record.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persist Mosaic compiles across bench runs (20-100s per kernel shape on
+# the remote compiler otherwise).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 NORTH_STAR_GBPS = 10.0
 BLOCK = 128 * 1024

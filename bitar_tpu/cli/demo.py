@@ -217,6 +217,15 @@ def evaluate_async(engines: list[Engine], data: bytes, num_streams: int
                 "async decompress", len(data), [t1 - t0]))
             print(timings[-1].report(), f"(run {run})")
 
+        # Per-stream latency distribution (the p99 block-latency metric of
+        # the skewed-size benchmark config).
+        lats = sorted((done_at[i] - t0) * 1e3 for i in done_at)
+        if lats:
+            p50 = lats[len(lats) // 2]
+            p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+            print(f"async stream latency: p50={p50:.1f}ms p99={p99:.1f}ms "
+                  f"max={lats[-1]:.1f}ms")
+
         # Per-segment verification (demo_app.cc:666-691).
         total = sum(o.shape[0] for o in outs.values())
         if total != len(data):
