@@ -1,7 +1,13 @@
 """Multi-chip / multi-host parallel execution layer."""
 
 from . import multihost
-from .pipeline import distributed_step, prepare_distributed_step, reorder_tables_for_recv
+from .pipeline import (
+    distributed_step,
+    distributed_step_planned,
+    prepare_distributed_step,
+    reorder_plans_for_recv,
+    reorder_tables_for_recv,
+)
 from .sharding import (
     BLOCKS_AXIS,
     make_mesh,
@@ -17,7 +23,9 @@ __all__ = [
     "multihost",
     "ShufflePlan",
     "distributed_step",
+    "distributed_step_planned",
     "execute_shuffle",
+    "reorder_plans_for_recv",
     "hash_partition",
     "make_mesh",
     "pad_block_count",
