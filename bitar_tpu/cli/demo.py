@@ -308,6 +308,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "decompress":
         with open(args.file, "rb") as f:
             data = f.read()
+        # The container records its own block size; the engine must match.
+        from ..manifest import CompressedBuffers
+        args.block_size = CompressedBuffers.from_bytes(data).manifest.block_size
     else:
         data = read_data(args.file, args.bytes)
     print(f"input: {len(data):,} bytes, codec={args.codec}, "

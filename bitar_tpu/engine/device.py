@@ -563,6 +563,11 @@ class Engine:
         into the arena, parsing sequence-table sidecars for TPU decode."""
         self._entry_guard()
         m = cb.manifest
+        if m.block_size != self.config.block_size:
+            raise StatusError(Status.Invalid(
+                f"container block_size {m.block_size} != engine "
+                f"block_size {self.config.block_size}; create the engine "
+                f"with the container's block size"))
         if int(m.comp_len.max(initial=0)) > self.config.slot_size:
             raise StatusError(Status.CapacityError(
                 f"block of {int(m.comp_len.max())}B exceeds slot "

@@ -181,3 +181,19 @@ def test_driver_discovery():
     assert [e.device_index for e in placed] == [0, 1, 0, 1, 0]
     for e in engines:
         e.release()
+
+
+def test_import_rejects_block_size_mismatch(engine, rng):
+    # A container built at a different block size must be rejected —
+    # decoding it with this engine's plans/layouts would corrupt output.
+    data = b"m" * 5000
+    other = bt.Engine(small_config(block_size=2048)).initialize()
+    try:
+        unit = other.compress(data)
+        cb = unit.to_host()
+        other.recycle(unit)
+        with pytest.raises(bt.StatusError) as ei:
+            engine.import_unit(cb)
+        assert "block_size" in str(ei.value)
+    finally:
+        other.release()
