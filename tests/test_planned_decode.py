@@ -124,3 +124,42 @@ def test_engine_small_blocks_fall_back_to_tables(rng):
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)
+
+
+def test_flat_plan_variant(rng):
+    # Pad-free HBM-resident plans with per-pass DMA staging.
+    from bitar_tpu.ops.pallas.lz4_decode_planned import (
+        decode_blocks_planned_flat, pack_plan)
+
+    block, nrows, tiles = BLOCK, NROWS, NROWS // 128
+    datas = [
+        (b"flat wire " * (block // 9 + 1))[:block],
+        rng.integers(0, 8, block, dtype=np.uint8).tobytes(),
+        b"\x77" * block,
+    ]
+    comps = [np.asarray(native.lz4_compress(d)) for d in datas]
+    plans = [native.plan_block(c, block, nrows, max_passes=96, codec="lz4")
+             for c in comps]
+    assert all(p[0] is not None for p in plans)
+    comp_rows = -(-max(len(c) for c in comps) // 128)
+    comp_rows = -(-comp_rows // 32) * 32
+    n = len(datas)
+    cp = np.zeros((n, comp_rows, 128), np.uint8)
+    for i, c in enumerate(comps):
+        cp[i].reshape(-1)[:len(c)] = c
+    p_used = np.array([p[0] for p in plans], np.int32)
+    p_off = np.concatenate([[0], np.cumsum(p_used)[:-1]]).astype(np.int32)
+    s = int(p_used.sum())
+    se = np.zeros((s, nrows), np.int32)
+    sh = np.zeros_like(se)
+    for i, (P, p0, cols) in enumerate(plans):
+        se_i, sh_i = pack_plan(cols["r_dstart"][:P], cols["r_dend"][:P],
+                               cols["r_shift"][:P], p0, P, comp_rows)
+        se[p_off[i]:p_off[i] + P] = se_i
+        sh[p_off[i]:p_off[i] + P] = sh_i
+    out = np.asarray(decode_blocks_planned_flat(
+        cp, p_used, p_off, se.reshape(s, tiles, 128),
+        sh.reshape(s, tiles, 128), comp_rows=comp_rows, out_rows=nrows,
+        interpret=True))
+    for i, d in enumerate(datas):
+        assert out[i].reshape(-1)[:block].tobytes() == d, f"block {i}"
