@@ -26,8 +26,10 @@ sidecar tables fall back to the host path.
 
 from __future__ import annotations
 
+import concurrent.futures
 import enum
 import functools
+import os
 import threading
 from dataclasses import dataclass, field
 
@@ -149,6 +151,13 @@ class Engine:
         if self.device is None:
             self.device = jax.devices()[0]
         self.caps = capabilities_for_platform(self.device.platform)
+        if (self.device.platform == "cpu" and self.config.use_tpu_kernels
+                and not self.config.interpret):
+            # Compiled Pallas kernels need a TPU; on CPU degrade to the
+            # interpreter so the same config runs everywhere (the software
+            # backend the reference never had, survey §4).
+            logger.info("cpu device: running Pallas kernels in interpreter mode")
+            self.config = self.config.replace(interpret=True)
         self.config.validate(self.caps).with_context(
             f"Engine(device={self.device})").raise_if_error()
         self.arena = DeviceArena(
@@ -332,8 +341,8 @@ class Engine:
         comp_rows = max(32, -(-int(manifest.comp_len.max(initial=1)) // 128))
         comp_rows = -(-comp_rows // 32) * 32
         n = manifest.nblocks
-        per_block = []
-        for i in range(n):
+
+        def plan_one(i: int):
             codec = codec_from_id(int(manifest.codec_ids[i]))
             comp = staging[i, :int(manifest.comp_len[i])]
             raw_len = int(manifest.raw_len[i])
@@ -349,18 +358,25 @@ class Engine:
                         best = (P, p0, cols)
                     if P is not None and P <= 16:
                         break
-                if best is None:
-                    return None
-                per_block.append(best)
-            elif codec == Codec.RAW:
+                return best
+            if codec == Codec.RAW:
                 cols = {k: np.zeros((1, nrows), np.int32)
                         for k in ("r_dstart", "r_dend", "r_shift")}
                 rows_used = -(-raw_len // 128)
                 cols["r_dend"][0, :rows_used] = np.minimum(
                     raw_len, (np.arange(rows_used) + 1) * 128)
-                per_block.append((1, 1, cols))
-            else:
-                return None           # zstd: host path
+                return (1, 1, cols)
+            return None               # zstd: host path
+
+        # The native planner releases the GIL; fan out across blocks (the
+        # host-side "burst assembly" workers of the reference, but for
+        # plan construction).  The split limit is thread_local in the
+        # native library, so concurrent workers stay deterministic.
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 4)) as pool:
+            per_block = list(pool.map(plan_one, range(n)))
+        if any(p is None for p in per_block):
+            return None
         passes = max(4, -(-max(p[0] for p in per_block) // 4) * 4)
         se = np.zeros((n, passes, nrows), np.int32)
         shift = np.zeros((n, passes, nrows), np.int32)

@@ -34,7 +34,7 @@
 
 namespace {
 
-int g_split_limit = 2;  // max comp pieces before staying out-space (runtime-tunable)
+thread_local int g_split_limit = 2;  // per-thread: see bt_plan_rows' split_limit arg
 
 struct Frag {
   int32_t dst;
