@@ -63,3 +63,37 @@ def test_validate_rejects(kw, frag):
 def test_validate_cpu_class_allows_small_blocks():
     assert EngineConfig(block_size=64).validate(CPU_INTERPRET).ok()
     assert not EngineConfig(block_size=64).validate(TPU_V5E).ok()
+
+
+def test_zstd_level_knob(rng=None):
+    import numpy as np
+
+    import bitar_tpu as bt
+    rng = np.random.default_rng(4)
+    data = (b"level knob " * 500) + bytes(rng.integers(0, 4, 4000, dtype=np.uint8))
+    sizes = {}
+    for level in (1, 9):
+        cfg = bt.EngineConfig(codec=bt.Codec.ZSTD, block_size=8192,
+                              max_pool_slots=32, level=level,
+                              use_tpu_kernels=False)
+        with bt.Engine(cfg) as eng:
+            unit = eng.compress(data)
+            sizes[level] = unit.manifest.total_comp
+            assert eng.decompress(unit).tobytes() == data
+            eng.recycle(unit)
+    # zstd levels are not strictly monotone on small inputs; both must
+    # round-trip and stay in the same ballpark.
+    assert abs(sizes[9] - sizes[1]) < 0.2 * sizes[1]
+
+
+def test_adler32_checksum_roundtrip():
+    import bitar_tpu as bt
+    cfg = bt.EngineConfig(codec=bt.Codec.SNAPPY, block_size=1024,
+                          max_pool_slots=32, checksum=bt.Checksum.ADLER32,
+                          use_tpu_kernels=False)
+    with bt.Engine(cfg) as eng:
+        data = b"adler " * 700
+        unit = eng.compress(data)
+        assert (unit.manifest.checksums != 0).any()
+        assert eng.decompress(unit).tobytes() == data
+        eng.recycle(unit)
