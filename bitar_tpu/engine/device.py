@@ -428,9 +428,9 @@ class Engine:
         return out[:m.total_raw]
 
     def decompress_device(self, unit: CompressedUnit) -> list:
-        """Decompress entirely on device: returns the list of per-burst
-        ``[burst, block_size]`` uint8 device arrays, in block order, with
-        no host readout.
+        """Decompress entirely on device: returns per-burst uint8 device
+        arrays (planned path: ``[burst, nrows, 128]``; fallback path:
+        ``[burst, block_size]``), in block order, with no host readout.
 
         This is the production-shaped path: decompressed blocks normally
         feed further device compute (the zero-copy contract), and on the
@@ -438,10 +438,39 @@ class Engine:
         wraps this with readout + reassembly."""
         self._entry_guard()
         unit._check_live()
+        if unit.plan_se is not None:
+            cfg = self.config
+            nrows = cfg.block_size // 128
+            results = []
+            burst = cfg.burst_size
+            for start in range(0, unit.nblocks, burst):
+                stop = min(unit.nblocks, start + burst)
+                nb = stop - start
+                slots = [r.slot for r in unit.refs[start:stop]]
+                slots += [slots[-1]] * (burst - nb)
+                se = np.zeros((burst, unit.plan_passes, nrows), np.int32)
+                shift = np.zeros_like(se)
+                p_used = np.zeros(burst, np.int32)
+                se[:nb] = unit.plan_se[start:stop]
+                shift[:nb] = unit.plan_shift[start:stop]
+                p_used[:nb] = unit.plan_p_used[start:stop]
+                rows = self.arena.gather_burst(slots)
+                planes = _u8_rows_to_planes(rows, unit.plan_comp_rows)
+                results.append(decode_blocks_planned(
+                    planes, jnp.asarray(p_used),
+                    jnp.asarray(se.reshape(burst, unit.plan_passes,
+                                           nrows // 128, 128)),
+                    jnp.asarray(shift.reshape(burst, unit.plan_passes,
+                                              nrows // 128, 128)),
+                    passes=unit.plan_passes,
+                    comp_rows=unit.plan_comp_rows,
+                    out_rows=nrows, interpret=cfg.interpret))
+            self.stats.tpu_decode_bursts += len(results)
+            return results
         if unit.tables is None:
             raise StatusError(Status.NotImplemented(
                 "device-resident decompress requires a TPU-decodable unit "
-                "(lz4/snappy/raw with sequence sidecar)"))
+                "(lz4/snappy/raw with sequence or plan sidecar)"))
         return [fut for _, _, fut in self._decode_bursts(unit)]
 
     def _decode_bursts(self, unit: CompressedUnit):

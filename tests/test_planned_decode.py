@@ -163,3 +163,19 @@ def test_flat_plan_variant(rng):
         interpret=True))
     for i, d in enumerate(datas):
         assert out[i].reshape(-1)[:block].tobytes() == d, f"block {i}"
+
+
+def test_decompress_device_planned(rng):
+    import jax
+    with planned_engine() as eng:
+        data = (b"device resident " * (BLOCK // 15 + 1))[:BLOCK] + b"\x44" * BLOCK
+        unit = eng.compress(data)
+        assert unit.plan_se is not None
+        bursts = eng.decompress_device(unit)
+        jax.block_until_ready(bursts)
+        host = np.concatenate(
+            [np.asarray(b).reshape(np.asarray(b).shape[0], -1) for b in bursts])
+        got = b"".join(host[i].tobytes()[:int(unit.manifest.raw_len[i])]
+                       for i in range(unit.nblocks))
+        assert got == data
+        eng.recycle(unit)
