@@ -84,46 +84,12 @@ def main() -> int:
     assert out.tobytes() == data, "round-trip not bit-exact"
     print("bench: engine round-trip verified bit-exact", file=sys.stderr)
 
-    # Timed phase: decode-kernel launches on device-committed inputs,
-    # bucketed by per-block pass count (the engine's launch grouping).
+    # Timed phase: one decode-kernel launch over the whole batch on
+    # device-committed inputs (single launch measured fastest under the
+    # tunnel's per-launch costs; see git history for the bucketed A/B).
     nrows = BLOCK // 128
     comp_rows = unit.plan_comp_rows
     rows = np.asarray(eng.arena.gather_burst([r.slot for r in unit.refs]))
-    launches = []
-    buckets = (4, 8, 16, 32, 64, 96)
-    groups: dict[int, list[int]] = {}
-    for i in range(NBLOCKS):
-        p = int(unit.plan_p_used[i])
-        b = min(next(b for b in buckets if p <= b), unit.plan_passes)
-        groups.setdefault(b, []).append(i)
-    for b, idxs in sorted(groups.items()):
-        planes = jnp.asarray(rows[idxs, :comp_rows * 128]
-                             .reshape(len(idxs), comp_rows, 128))
-        p_used = jnp.asarray(unit.plan_p_used[idxs])
-        se = jnp.asarray(unit.plan_se[idxs, :b]
-                         .reshape(len(idxs), b, nrows // 128, 128))
-        shift = jnp.asarray(unit.plan_shift[idxs, :b]
-                            .reshape(len(idxs), b, nrows // 128, 128))
-        kw = dict(passes=b, comp_rows=comp_rows, out_rows=nrows,
-                  interpret=not on_tpu)
-        launches.append((idxs, (planes, p_used, se, shift), kw))
-        print(f"bench: bucket P<={b}: {len(idxs)} blocks", file=sys.stderr)
-
-    def run_all():
-        # Launch every bucket before syncing any: dispatches pipeline, the
-        # scalar readbacks then drain in completion order.
-        outs = [decode_blocks_planned(*args, **kw) for _, args, kw in launches]
-        for o in outs:
-            sync(o)
-        return outs
-
-    def run_single():
-        o = decode_blocks_planned(planes_all, p_used_all, se_all, shift_all,
-                                  passes=unit.plan_passes, comp_rows=comp_rows,
-                                  out_rows=nrows, interpret=not on_tpu)
-        sync(o)
-        return [o]
-
     planes_all = jnp.asarray(rows[:, :comp_rows * 128]
                              .reshape(NBLOCKS, comp_rows, 128))
     p_used_all = jnp.asarray(unit.plan_p_used)
@@ -132,22 +98,23 @@ def main() -> int:
     shift_all = jnp.asarray(unit.plan_shift.reshape(
         NBLOCKS, unit.plan_passes, nrows // 128, 128))
 
-    # Pick the faster launch structure (bucketed vs single) empirically:
-    # the dev tunnel has high per-launch costs that can invert the tradeoff.
+    def run_single():
+        o = decode_blocks_planned(planes_all, p_used_all, se_all, shift_all,
+                                  passes=unit.plan_passes, comp_rows=comp_rows,
+                                  out_rows=nrows, interpret=not on_tpu)
+        sync(o)
+        return [o]
+
+    outs = run_single()  # warm-up / compile
     best = float("inf")
-    outs = None
-    for name, fn in (("bucketed", run_all), ("single", run_single)):
-        o = fn()  # warm-up / compile
-        for run in range(3):
-            t0 = time.perf_counter()
-            o = fn()
-            dt = time.perf_counter() - t0
-            if dt < best:
-                best, outs = dt, o
-            print(f"bench: {name} run {run}: {dt * 1e3:.1f} ms "
-                  f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
-    if len(outs) == 1:
-        launches = [(list(range(NBLOCKS)), None, None)]
+    for run in range(3):
+        t0 = time.perf_counter()
+        outs = run_single()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"bench: run {run}: {dt * 1e3:.1f} ms "
+              f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
+    launches = [(list(range(NBLOCKS)), None, None)]
 
     # spot-check the timed path's output too
     for (idxs, _, _), o in zip(launches, outs):
