@@ -309,14 +309,19 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.file, "rb") as f:
             data = f.read()
         # The container records its own block size; the engine must match.
+        # Pool sizing must come from the manifest's block count (raw-size
+        # derived) — the container byte length underestimates it for any
+        # well-compressed input and import_unit would hit CapacityError.
         from ..manifest import CompressedBuffers
-        args.block_size = CompressedBuffers.from_bytes(data).manifest.block_size
+        m = CompressedBuffers.from_bytes(data).manifest
+        args.block_size = m.block_size
+        nblocks = m.nblocks
     else:
         data = read_data(args.file, args.bytes)
+        nblocks = -(-len(data) // args.block_size)
     print(f"input: {len(data):,} bytes, codec={args.codec}, "
           f"block={args.block_size}, mode={args.mode}")
 
-    nblocks = -(-len(data) // args.block_size)
     pool = args.pool_slots or max(64, nblocks + args.burst_size)
     cfg = EngineConfig(
         codec=Codec(args.codec), block_size=args.block_size,

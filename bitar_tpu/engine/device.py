@@ -273,7 +273,23 @@ class Engine:
             if codec in (Codec.LZ4, Codec.SNAPPY):
                 impl = registry.get_impl(codec)
                 from ..ops.cpu import native
-                per_block.append(native.parse_sequences(comp, impl.parse_name))
+                t = native.parse_sequences(comp, impl.parse_name)
+                # Cross-check the parsed stream's decoded extent against the
+                # manifest before handing the tables to the TPU kernel: a
+                # foreign block decoding to more than raw_len would drive
+                # the Pallas copy primitives past the output plane (the
+                # host path cross-checks dst_len == raw_len after decode;
+                # this is the table path's equivalent guard).
+                ends = t["out_pos"] + t["lit_len"] + t["mlen"]
+                total = int(ends[-1]) if ends.shape[0] else 0
+                if total != int(manifest.raw_len[i]) or (
+                        ends.shape[0] and int(ends.max()) > self.config.block_size):
+                    logger.warning(
+                        "block %d: parsed decode size %d != manifest raw_len "
+                        "%d; using host decode path", i, total,
+                        int(manifest.raw_len[i]))
+                    return None, None
+                per_block.append(t)
             elif codec == Codec.RAW:
                 ln = int(manifest.raw_len[i])
                 per_block.append({
@@ -350,10 +366,17 @@ class Engine:
                 best = None
                 for split in (4, 8):
                     native.set_split_limit(split)
-                    P, p0, cols = native.plan_block(
-                        comp, raw_len, nrows,
-                        max_passes=self._PLAN_MAX_PASSES,
-                        codec=registry.get_impl(codec).parse_name)
+                    try:
+                        P, p0, cols = native.plan_block(
+                            comp, raw_len, nrows,
+                            max_passes=self._PLAN_MAX_PASSES,
+                            codec=registry.get_impl(codec).parse_name)
+                    except StatusError:
+                        # Malformed/foreign block (e.g. a manifest whose
+                        # raw_len disagrees with the stream): never fatal
+                        # here — the host decode path re-validates and
+                        # reports the real per-block status.
+                        return None
                     if P is not None and (best is None or P < best[0]):
                         best = (P, p0, cols)
                     if P is not None and P <= 16:

@@ -75,6 +75,11 @@ class BlockManifest:
     codec_ids: np.ndarray
     checksums: np.ndarray
     checksum_kind: Checksum = Checksum.NONE
+    #: Uniform units keep the reference's implicit framing shape (every block
+    #: but the last is exactly ``block_size``, ``device.cc:241-318``);
+    #: non-uniform units carry a skewed per-block size distribution
+    #: (BASELINE config 4) where ``block_size`` is only the maximum.
+    uniform: bool = True
 
     # ------------------------------------------------------------------
     @property
@@ -125,6 +130,31 @@ class BlockManifest:
             checksums=np.zeros(nblocks, dtype=np.uint32),
         )
 
+    @staticmethod
+    def plan_sizes(sizes, block_size: int) -> "BlockManifest":
+        """Split plan with an explicit (possibly skewed) size per block.
+
+        ``block_size`` is the maximum (it sizes device slots/padding);
+        every entry of ``sizes`` must be in ``[0, block_size]``.
+        """
+        raw_len = np.asarray(sizes, dtype=np.int32)
+        if raw_len.ndim != 1 or raw_len.shape[0] == 0:
+            raise StatusError(Status.Invalid("plan_sizes needs a 1-D non-empty size list"))
+        if block_size <= 0:
+            raise StatusError(Status.Invalid("block_size must be positive"))
+        if (raw_len < 0).any() or (raw_len > block_size).any():
+            raise StatusError(Status.Invalid("block sizes must be in [0, block_size]"))
+        nblocks = raw_len.shape[0]
+        return BlockManifest(
+            block_size=block_size,
+            total_raw=int(raw_len.sum()),
+            raw_len=raw_len,
+            comp_len=np.zeros(nblocks, dtype=np.int32),
+            codec_ids=np.zeros(nblocks, dtype=np.int32),
+            checksums=np.zeros(nblocks, dtype=np.uint32),
+            uniform=bool((raw_len[:-1] == block_size).all()),
+        )
+
     def validate(self) -> Status:
         n = self.nblocks
         for name in ("raw_len", "comp_len", "codec_ids", "checksums"):
@@ -134,8 +164,12 @@ class BlockManifest:
         if int(self.raw_len.sum()) != self.total_raw:
             return Status.Invalid(
                 f"raw_len sum {int(self.raw_len.sum())} != total_raw {self.total_raw}")
-        if n > 1 and not (self.raw_len[:-1] == self.block_size).all():
+        if not self.uniform and n > 1 and not (self.raw_len[:-1] <= self.block_size).all():
+            return Status.Invalid("raw_len may not exceed block_size")
+        if self.uniform and n > 1 and not (self.raw_len[:-1] == self.block_size).all():
             return Status.Invalid("all blocks but the last must equal block_size")
+        if n >= 1 and int(self.raw_len[-1]) > self.block_size:
+            return Status.Invalid("last block raw_len exceeds block_size")
         if (self.comp_len < 0).any() or (self.raw_len < 0).any():
             return Status.Invalid("negative lengths in manifest")
         if not np.isin(self.codec_ids, list(_ID_CODECS)).all():
@@ -148,8 +182,11 @@ class BlockManifest:
         buf = io.BytesIO()
         buf.write(MAGIC)
         cksum_kind = {Checksum.NONE: 0, Checksum.CRC32: 1, Checksum.ADLER32: 2}[self.checksum_kind]
-        buf.write(struct.pack("<HHIqq", VERSION, cksum_kind, self.nblocks,
-                              self.total_raw, self.block_size))
+        # High byte of the kind field carries flags (bit 0: non-uniform
+        # block sizes); v1 writers always emitted 0 there.
+        flags = 0 if self.uniform else 1
+        buf.write(struct.pack("<HHIqq", VERSION, cksum_kind | (flags << 8),
+                              self.nblocks, self.total_raw, self.block_size))
         for col, dt in ((self.raw_len, "<i4"), (self.comp_len, "<i4"),
                         (self.codec_ids, "<i4"), (self.checksums, "<u4")):
             buf.write(np.ascontiguousarray(col, dtype=dt).tobytes())
@@ -163,21 +200,35 @@ class BlockManifest:
         body, (crc,) = data[:-4], struct.unpack("<I", data[-4:])
         if zlib.crc32(body) & 0xFFFFFFFF != crc:
             raise StatusError(Status.IOError("manifest header CRC mismatch"))
-        version, cksum_kind, nblocks, total_raw, block_size = struct.unpack(
+        version, kind_flags, nblocks, total_raw, block_size = struct.unpack(
             "<HHIqq", body[4:4 + 24])
         if version != VERSION:
             raise StatusError(Status.IOError(f"unsupported manifest version {version}"))
+        cksum_kind = kind_flags & 0xFF
+        flags = kind_flags >> 8
+        if cksum_kind not in (0, 1, 2) or flags > 1:
+            raise StatusError(Status.IOError("unknown manifest checksum kind/flags"))
+        # Validate the declared block count against the actual body size
+        # BEFORE allocating columns: a hostile 36-byte header with a huge
+        # nblocks must not drive a multi-GiB np.frombuffer allocation.
+        if len(body) != 4 + 24 + 16 * nblocks:
+            raise StatusError(Status.IOError(
+                f"manifest body {len(body)} bytes inconsistent with nblocks={nblocks}"))
         off = 4 + 24
         cols = []
-        for dt in ("<i4", "<i4", "<i4", "<u4"):
-            arr = np.frombuffer(body, dtype=dt, count=nblocks, offset=off).copy()
-            off += 4 * nblocks
-            cols.append(arr)
+        try:
+            for dt in ("<i4", "<i4", "<i4", "<u4"):
+                arr = np.frombuffer(body, dtype=dt, count=nblocks, offset=off).copy()
+                off += 4 * nblocks
+                cols.append(arr)
+        except ValueError as exc:
+            raise StatusError(Status.IOError(f"manifest columns truncated: {exc}")) from exc
         m = BlockManifest(
             block_size=block_size, total_raw=total_raw,
             raw_len=cols[0], comp_len=cols[1], codec_ids=cols[2],
             checksums=cols[3].astype(np.uint32),
             checksum_kind={0: Checksum.NONE, 1: Checksum.CRC32, 2: Checksum.ADLER32}[cksum_kind],
+            uniform=not (flags & 1),
         )
         m.validate().raise_if_error()
         return m

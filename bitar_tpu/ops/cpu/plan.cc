@@ -268,6 +268,11 @@ int bt_plan_rows(int nseq, const int32_t* lit_ptr, const int32_t* lit_len,
   if (nseq < 0 || out_len < 0 || nrows <= 0 || max_passes <= 0) {
     return BT_ERR_INVALID;
   }
+  // The schedule's row tables are sized nrows; a block claiming to decode
+  // past nrows*128 would index comp_slots/used out of bounds.
+  if (static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
+    return BT_ERR_INVALID;
+  }
   Planner planner;
   const int max_frags = nrows * max_passes + 64;
   if (!planner.Build(nseq, lit_ptr, lit_len, off, mlen, out_pos, max_frags)) {

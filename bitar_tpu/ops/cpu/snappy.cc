@@ -160,12 +160,19 @@ int SnappyWalk(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap,
       if (len > 60) {
         const int extra = len - 60;
         if (s + extra > src_len) return BT_ERR_IO;
-        len = 0;
-        for (int k = 0; k < extra; ++k) len |= src[s + k] << (8 * k);
-        len += 1;
+        // Accumulate in 64 bits: 4 extra bytes can encode up to 2^32-1,
+        // which overflows (wraps negative) in int and would then slip
+        // through the `s + len > src_len` guard below.
+        int64_t wide = 0;
+        for (int k = 0; k < extra; ++k) {
+          wide |= static_cast<int64_t>(src[s + k]) << (8 * k);
+        }
+        wide += 1;
+        if (wide <= 0 || wide > src_len) return BT_ERR_IO;
+        len = static_cast<int>(wide);
         s += extra;
       }
-      if (s + len > src_len) return BT_ERR_IO;
+      if (len <= 0 || s + len > src_len) return BT_ERR_IO;
       if (dst != nullptr) {
         if (d + len > dst_cap) return BT_ERR_CAPACITY;
         std::memcpy(dst + d, src + s, static_cast<size_t>(len));
