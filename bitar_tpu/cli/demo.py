@@ -269,6 +269,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streams", type=int, default=4)
     p.add_argument("--backend", choices=["tpu", "host"], default="tpu",
                    help="decompress path: Pallas kernels or native host codecs")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="jax platform override (the EAL-flag tier of the "
+                        "reference, README.md:80-82; 'cpu' runs Pallas in "
+                        "interpreter mode, no accelerator needed)")
     p.add_argument("--checksum", choices=[c.value for c in Checksum],
                    default="none")
     p.add_argument("--pool-slots", type=int, default=None,
@@ -305,6 +309,11 @@ def run_decompress_file(engine: Engine, raw: bytes, out_path: str) -> None:
 def main(argv: list[str] | None = None) -> int:
     install_signal_handlers()
     args = build_parser().parse_args(argv)
+    if args.platform != "auto":
+        # Must happen before any jax backend initializes; the env var
+        # alone can be pinned by site configuration.
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.mode == "decompress":
         with open(args.file, "rb") as f:
             data = f.read()

@@ -118,7 +118,10 @@ TPU_V5E = DeviceCapabilities(
     max_block_size=1 << 20,
     max_burst_size=1024,
     max_inflight_bursts=512,
-    vmem_budget_bytes=100 * 1024 * 1024,   # v5e has 128 MiB VMEM-addressable? conservatively capped
+    # v5e carries 128 MiB of VMEM per chip (public spec; see
+    # jax-ml.github.io/scaling-book "TPU architecture" table).  Budget 96
+    # MiB for codec kernels, leaving head-room for XLA's own scratch.
+    vmem_budget_bytes=96 * 1024 * 1024,
     hbm_budget_bytes=12 << 30,
     supports_async=True,
 )
@@ -176,9 +179,6 @@ class EngineConfig:
     pipeline_depth: int = 2             # double-buffered HBM->VMEM staging depth
     use_tpu_kernels: bool = True        # False -> host (native C++) codec path
     interpret: bool = False             # run Pallas kernels in interpreter mode
-    bucket_passes: bool = False         # group decode launches by plan depth
-                                        # (wins when per-launch cost is low;
-                                        # the dev tunnel prefers one launch)
     compress_matcher: str = "host"      # "host" (hash matcher, quality) or
                                         # "tpu" (Pallas candidate-offset
                                         # matcher; LZ4, 16KiB-aligned blocks)

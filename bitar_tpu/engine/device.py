@@ -51,7 +51,11 @@ from ..ops import registry
 from ..ops.cpu import native
 from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
-from ..ops.pallas.lz4_decode_planned import decode_blocks_planned, pack_plan
+from ..ops.pallas.lz4_decode_flat import (
+    bias_planes,
+    build_flat_plans,
+    decode_blocks_flat,
+)
 from ..status import Status, StatusError
 from ..utils.logging import get_logger
 
@@ -98,14 +102,21 @@ class CompressedUnit:
     engine: "Engine"
     tables: dict[str, np.ndarray] | None = None   # [nblocks, seq_cap] SoA
     nseq: np.ndarray | None = None                # [nblocks]
-    # Scheduled decode plans (the fast path): packed se/shift wire arrays
-    # [nblocks, plan_passes, out_rows] plus per-block comp-pass counts.
-    plan_se: np.ndarray | None = None
-    plan_shift: np.ndarray | None = None
-    plan_p_used: np.ndarray | None = None    # per-block pass counts
-    plan_passes: int = 0
+    # Scheduled decode plans (the fast path): flat pad-free wire arrays
+    # (see ops/pallas/lz4_decode_flat.py): p_used/p_off/p0 [nblocks] int32
+    # + se [S, tiles, 128] int16 + shift [S, tiles, 128] int32.
+    plan_flat: dict[str, np.ndarray] | None = None
     plan_comp_rows: int = 0
     recycled: bool = field(default=False)
+    _plan_dev: tuple | None = field(default=None, repr=False)
+
+    def plan_device_arrays(self):
+        """The unit's flat plan (se, shift) as device arrays, uploaded once
+        and shared by every decode launch of this unit."""
+        if self._plan_dev is None:
+            self._plan_dev = (jnp.asarray(self.plan_flat["se"]),
+                              jnp.asarray(self.plan_flat["shift"]))
+        return self._plan_dev
 
     @property
     def nblocks(self) -> int:
@@ -254,8 +265,7 @@ class Engine:
         unit = CompressedUnit(manifest=manifest, refs=refs, engine=self,
                               tables=tables, nseq=nseq)
         if plans is not None:
-            (unit.plan_se, unit.plan_shift, unit.plan_p_used,
-             unit.plan_passes, unit.plan_comp_rows) = plans
+            unit.plan_flat, unit.plan_comp_rows = plans
         return unit
 
     # ------------------------------------------------------------------
@@ -348,14 +358,14 @@ class Engine:
     def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):
         """Build scheduled decode plans (the fast TPU path) per block.
 
-        Returns (se, shift, p0s, passes, comp_rows) or None when any block
-        is unplannable (falls back to the sequence-table kernel)."""
+        Returns (plans dict, comp_rows) or None when any block is
+        unplannable (falls back to the sequence-table kernel)."""
         cfg = self.config
         nrows = cfg.block_size // 128
         if nrows % 128 != 0:          # planned kernel wants lane-tiled rows
             return None
-        comp_rows = max(32, -(-int(manifest.comp_len.max(initial=1)) // 128))
-        comp_rows = -(-comp_rows // 32) * 32
+        comp_rows = max(128, -(-int(manifest.comp_len.max(initial=1)) // 128))
+        comp_rows = -(-comp_rows // 128) * 128
         n = manifest.nblocks
 
         def plan_one(i: int):
@@ -400,17 +410,7 @@ class Engine:
             per_block = list(pool.map(plan_one, range(n)))
         if any(p is None for p in per_block):
             return None
-        passes = max(4, -(-max(p[0] for p in per_block) // 4) * 4)
-        se = np.zeros((n, passes, nrows), np.int32)
-        shift = np.zeros((n, passes, nrows), np.int32)
-        p_used = np.zeros(n, np.int32)
-        for i, (P, p0, cols) in enumerate(per_block):
-            se_i, sh_i = pack_plan(cols["r_dstart"][:P], cols["r_dend"][:P],
-                                   cols["r_shift"][:P], p0, passes, comp_rows)
-            se[i] = se_i
-            shift[i] = sh_i
-            p_used[i] = P
-        return se, shift, p_used, passes, comp_rows
+        return build_flat_plans(per_block, comp_rows, nrows), comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
                    ) -> np.ndarray:
@@ -431,7 +431,7 @@ class Engine:
             raise StatusError(Status.CapacityError(
                 f"output buffer {out.shape[0]} < total_raw {m.total_raw}"))
 
-        if self.config.use_tpu_kernels and unit.plan_se is not None:
+        if self.config.use_tpu_kernels and unit.plan_flat is not None:
             self._decompress_tpu_planned(unit, out)
         elif self.config.use_tpu_kernels and unit.tables is not None:
             self._decompress_tpu(unit, out)
@@ -461,33 +461,8 @@ class Engine:
         wraps this with readout + reassembly."""
         self._entry_guard()
         unit._check_live()
-        if unit.plan_se is not None:
-            cfg = self.config
-            nrows = cfg.block_size // 128
-            results = []
-            burst = cfg.burst_size
-            for start in range(0, unit.nblocks, burst):
-                stop = min(unit.nblocks, start + burst)
-                nb = stop - start
-                slots = [r.slot for r in unit.refs[start:stop]]
-                slots += [slots[-1]] * (burst - nb)
-                se = np.zeros((burst, unit.plan_passes, nrows), np.int32)
-                shift = np.zeros_like(se)
-                p_used = np.zeros(burst, np.int32)
-                se[:nb] = unit.plan_se[start:stop]
-                shift[:nb] = unit.plan_shift[start:stop]
-                p_used[:nb] = unit.plan_p_used[start:stop]
-                rows = self.arena.gather_burst(slots)
-                planes = _u8_rows_to_planes(rows, unit.plan_comp_rows)
-                results.append(decode_blocks_planned(
-                    planes, jnp.asarray(p_used),
-                    jnp.asarray(se.reshape(burst, unit.plan_passes,
-                                           nrows // 128, 128)),
-                    jnp.asarray(shift.reshape(burst, unit.plan_passes,
-                                              nrows // 128, 128)),
-                    passes=unit.plan_passes,
-                    comp_rows=unit.plan_comp_rows,
-                    out_rows=nrows, interpret=cfg.interpret))
+        if unit.plan_flat is not None:
+            results = [r for _, r in self._planned_bursts(unit)]
             self.stats.tpu_decode_bursts += len(results)
             return results
         if unit.tables is None:
@@ -536,57 +511,51 @@ class Engine:
         self.stats.tpu_decode_bursts += len(futures)
         return futures
 
-    _PASS_BUCKETS = (4, 8, 16, 32, 64, 96)
+    def _planned_bursts(self, unit: CompressedUnit):
+        """Burst-pipelined flat-kernel decode launches for a planned unit.
 
-    def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
-                                ) -> None:
-        """Fast path: scheduled-fragment Pallas decode, burst-pipelined.
-
-        Blocks are grouped into pass-count buckets so a burst of shallow
-        plans (e.g. stored/random blocks, 1-4 passes) does not pay the
-        dense plan wire of the unit's deepest block — plan bytes streamed
-        per launch scale with the bucket, not the unit maximum."""
-        m = unit.manifest
+        Returns [(block_indices, device_result [burst, nrows, 128] u8)]
+        with every launch already dispatched (jax async; launches pipeline
+        on device).  The unit's flat plan arrays upload once and stay
+        HBM-resident across launches; per-burst wire is just the biased
+        comp planes plus three small scalar vectors."""
         cfg = self.config
         burst = cfg.burst_size
         nrows = cfg.block_size // 128
         comp_rows = unit.plan_comp_rows
-        n = m.nblocks
+        n = unit.nblocks
+        plans = unit.plan_flat
+        se_dev, shift_dev = unit.plan_device_arrays()
+        launches = []
+        for start in range(0, n, burst):
+            stop = min(n, start + burst)
+            nb = stop - start
+            chunk = list(range(start, stop))
+            slots = [unit.refs[i].slot for i in chunk]
+            slots += [slots[-1]] * (burst - nb)
+            p_used = np.zeros(burst, np.int32)   # pad blocks: 0 passes
+            p_off = np.zeros(burst, np.int32)
+            p0 = np.zeros(burst, np.int32)
+            p_used[:nb] = plans["p_used"][start:stop]
+            p_off[:nb] = plans["p_off"][start:stop]
+            p0[:nb] = plans["p0"][start:stop]
+            rows = self.arena.gather_burst(slots)          # [burst, slot] u8
+            planes = bias_planes(rows, comp_rows)
+            result = decode_blocks_flat(
+                planes, jnp.asarray(p_used), jnp.asarray(p_off),
+                jnp.asarray(p0), se_dev, shift_dev,
+                comp_rows=comp_rows, out_rows=nrows,
+                interpret=cfg.interpret,
+                pipeline_depth=min(2, cfg.pipeline_depth))
+            launches.append((chunk, result))
+            self.stats.enqueued_blocks += nb
+        return launches
 
-        groups: dict[int, list[int]] = {}
-        if cfg.bucket_passes:
-            for i in range(n):
-                p = int(unit.plan_p_used[i])
-                bucket = next((b for b in self._PASS_BUCKETS if p <= b),
-                              unit.plan_passes)
-                bucket = min(bucket, unit.plan_passes)
-                groups.setdefault(bucket, []).append(i)
-        else:
-            groups[unit.plan_passes] = list(range(n))
-
-        futures = []
-        for bucket, idxs in sorted(groups.items()):
-            for start in range(0, len(idxs), burst):
-                chunk = idxs[start:start + burst]
-                nb = len(chunk)
-                slots = [unit.refs[i].slot for i in chunk]
-                slots += [slots[-1]] * (burst - nb)
-                se = np.zeros((burst, bucket, nrows), np.int32)
-                shift = np.zeros_like(se)
-                p_used = np.zeros(burst, np.int32)
-                se[:nb] = unit.plan_se[chunk, :bucket]
-                shift[:nb] = unit.plan_shift[chunk, :bucket]
-                p_used[:nb] = unit.plan_p_used[chunk]
-                rows = self.arena.gather_burst(slots)      # [burst, slot] u8
-                planes = _u8_rows_to_planes(rows, comp_rows)
-                result = decode_blocks_planned(
-                    planes, jnp.asarray(p_used),
-                    jnp.asarray(se.reshape(burst, bucket, nrows // 128, 128)),
-                    jnp.asarray(shift.reshape(burst, bucket, nrows // 128, 128)),
-                    passes=bucket, comp_rows=comp_rows,
-                    out_rows=nrows, interpret=cfg.interpret)
-                futures.append((chunk, result))
-                self.stats.enqueued_blocks += nb
+    def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
+                                ) -> None:
+        """Fast path: flat scheduled-fragment Pallas decode."""
+        m = unit.manifest
+        futures = self._planned_bursts(unit)
         self.stats.tpu_decode_bursts += len(futures)
         for chunk, fut in futures:
             host = np.asarray(fut)                         # [burst, nrows, 128] u8
@@ -656,8 +625,7 @@ class Engine:
         unit = CompressedUnit(manifest=m, refs=refs, engine=self,
                               tables=tables, nseq=nseq)
         if plans is not None:
-            (unit.plan_se, unit.plan_shift, unit.plan_p_used,
-             unit.plan_passes, unit.plan_comp_rows) = plans
+            unit.plan_flat, unit.plan_comp_rows = plans
         return unit
 
     def recycle(self, unit: CompressedUnit) -> int:
@@ -672,19 +640,6 @@ class Engine:
 
 # ---------------------------------------------------------------------------
 # Device-side staging transforms (jit-cached per static shape)
-
-
-@functools.partial(jax.jit, static_argnames=("comp_rows",))
-def _u8_rows_to_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
-    """[n, slot] u8 -> [n, comp_rows, 128] u8 (slice/pad + reshape)."""
-    n = rows_u8.shape[0]
-    want = comp_rows * 128
-    have = rows_u8.shape[1]
-    if have >= want:
-        flat = rows_u8[:, :want]
-    else:
-        flat = jnp.pad(rows_u8, ((0, 0), (0, want - have)))
-    return flat.reshape(n, comp_rows, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("comp_rows",))

@@ -1,0 +1,371 @@
+"""Flat-plan int8 Pallas decoder: the fast LZ4/Snappy/RAW decode path.
+
+Third-generation plan-execute kernel (supersedes the dense kernel in
+``lz4_decode_planned.py``).  Same plan semantics — the host planner
+(``plan.cc``) schedules slope-1 fragments into passes with at most one
+fragment per 128-byte output row per pass — but the execution is rebuilt
+around measured TPU facts (ARCHITECTURE.md "Measured TPU facts"; the
+ablation history lives in the round-2 notes):
+
+1. **int8 MXU matmuls run 2x bf16** and lower fine from Pallas.  Byte
+   planes are stored bias-128 in int8 (``b - 128``, done by the caller on
+   device); a 0/1 one-hot times the biased plane accumulates exactly in
+   int32.
+2. **Paired planes kill half the gathers.**  A source plane carries 256
+   lanes: lanes [0,128) hold row r, lanes [128,256) hold row r+1.  One
+   one-hot matmul fetches BOTH candidate source rows of every output row
+   (slope-1 means each row's source bytes span < 2 rows); a parity
+   select picks per byte.
+3. **Split source planes break the false store->gather dependency.**
+   Comp-source passes gather from a comp-plane scratch that is never
+   written after init; out-source passes gather from the out-plane
+   scratch.  With one stacked buffer (the v1/v2 design) Mosaic had to
+   order every gather after every store — ablation showed the whole
+   kernel collapsing from ~15 us/pass to ~2 us/pass once stores stopped
+   aliasing gathers.  ``lax.cond`` chunk-skipping was likewise measured
+   counterproductive and is gone: each gather is ONE full-K matmul.
+4. **Comp-source passes batch CB wide.**  Fragments partition the
+   output, so active masks are disjoint across ALL passes; comp passes
+   are fully independent and merge through one select chain into a
+   single aligned store per batch.  Out passes execute in scheduled
+   order (real dependencies), maintaining the paired mirror with a
+   sublane roll.
+5. **Plans stream from HBM with double-buffered DMA** in DCHUNK-pass
+   chunks (the ``pipeline_depth`` knob's home), ``se`` rides int16.
+   Both phases are padded to DCHUNK multiples so the two phase loops
+   stay branch-free.
+
+Wire format per plan cell (one (pass, row) slot):
+
+* ``se``    int16: ``start << 8 | end`` — row-relative active byte range,
+  start in [0, 127], end in [0, 128]; 0 means inactive.
+* ``shift`` int32: source byte index = p + shift, in *comp-plane* byte
+  coordinates for comp passes and *out-plane* (block-local) coordinates
+  for out passes (no stacked-plane rebase — the planes are separate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+CB = 4                # passes per phase batch (and per DMA transfer)
+DCHUNK = CB           # plan rows per DMA transfer
+
+
+def _rowcast(tile):
+    """(t, 128) lane-major per-row values -> (t*128, 128) lane broadcast.
+
+    Row i's value lives at tile[i >> 7, i & 127]; the result carries it on
+    every lane of row i (Mosaic cannot reshape lanes into sublanes)."""
+    t = tile.shape[0]
+    vt = tile.T                                   # (128, t), sublane-major
+    cols = [jnp.broadcast_to(vt[:, a:a + 1], (LANES, LANES)) for a in range(t)]
+    return jnp.concatenate(cols, axis=0) if t > 1 else cols[0]
+
+
+def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
+                 out_ref, comp_sc, out_sc, se_buf, shift_buf, sems, *,
+                 comp_rows: int, out_rows: int, prefetch: bool):
+    """One grid step decodes one block.  See module docstring.
+
+    Refs:
+      p_used_ref (N,) SMEM      per-block total passes (multiple of CB)
+      p_off_ref  (N,) SMEM      per-block start row in the flat plan arrays
+      p0_ref     (N,) SMEM      per-block comp passes (multiple of CB)
+      se_ref    [S, tiles, 128] int16 HBM   packed start<<8|end
+      shift_ref [S, tiles, 128] int32 HBM   source shifts (plane-local)
+      comp_ref  (1, comp_rows, 128) VMEM    int8 biased compressed plane
+      out_ref   (1, out_rows, 128) VMEM     uint8 decoded byte plane
+      comp_sc   (comp_rows, 256) int8       paired comp plane (read-only)
+      out_sc    (out_rows, 256) int8        paired out plane
+      se_buf    (2*DCHUNK, tiles, 128) int16   double-buffered plan rows
+      shift_buf (2*DCHUNK, tiles, 128) int32
+      sems      (2, 2) DMA semaphores [kind, slot]
+    """
+    nrows = out_rows
+    b = pl.program_id(0)
+    npass = p_used_ref[b]          # total passes, multiple of CB
+    ncomp = p0_ref[b]              # comp passes, multiple of CB
+    base = p_off_ref[b]
+
+    comp_i8 = comp_ref[0]
+    comp_sc[:, 0:LANES] = comp_i8
+    comp_sc[:, LANES:] = jnp.roll(comp_i8, -1, axis=0)
+
+    lane_iota = lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
+    byte_iota = (lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0) * LANES
+                 + lane_iota)
+
+    def fetch(chunk, slot):
+        row = base + chunk * DCHUNK
+        pltpu.make_async_copy(
+            se_ref.at[pl.ds(row, DCHUNK)],
+            se_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
+            sems.at[0, slot]).start()
+        pltpu.make_async_copy(
+            shift_ref.at[pl.ds(row, DCHUNK)],
+            shift_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
+            sems.at[1, slot]).start()
+
+    def wait_slot(slot):
+        pltpu.make_async_copy(
+            se_ref.at[pl.ds(0, DCHUNK)],
+            se_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
+            sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            shift_ref.at[pl.ds(0, DCHUNK)],
+            shift_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
+            sems.at[1, slot]).wait()
+
+    def one_pass(slot_idx, src_ref):
+        """Gather + merge inputs for one pass whose plan row sits at
+        ``slot_idx`` in the VMEM buffers, sourcing from ``src_ref``.
+
+        Returns (active, val_i8): the pass's write mask and biased bytes.
+        """
+        krows = src_ref.shape[0]
+        se = _rowcast(se_buf[pl.ds(slot_idx, 1)][0].astype(jnp.int32))
+        shift = _rowcast(shift_buf[pl.ds(slot_idx, 1)][0])
+        start = lax.shift_right_logical(se, 8)
+        end = lax.bitwise_and(se, 0xFF)
+        active = jnp.logical_and(lane_iota >= start, lane_iota < end)
+
+        q = byte_iota + shift
+        qrow = lax.shift_right_logical(q, 7)
+        qlane = lax.bitwise_and(q, LANES - 1)
+        # Source row straight off the plan: the first active byte of row r
+        # sits at start + r*128 + shift, so row_a = that >> 7.
+        row_a_full = lax.shift_right_logical(
+            jnp.maximum(start + byte_iota - lane_iota + shift, 0), 7)
+        row_a = jnp.minimum(row_a_full[:, 0:1], krows - 1)
+
+        kiota = lax.broadcasted_iota(jnp.int32, (nrows, krows), 1)
+        oh = (kiota == row_a).astype(jnp.int8)
+        acc = jnp.dot(oh, src_ref[:, :], preferred_element_type=jnp.int32)
+
+        v_a = jnp.take_along_axis(acc[:, :LANES], qlane, axis=1)
+        v_b = jnp.take_along_axis(acc[:, LANES:], qlane, axis=1)
+        val = jnp.where(qrow == row_a, v_a, v_b)              # biased int32
+        return active, val.astype(jnp.int8)
+
+    def stage_plans(c, slot):
+        """Plan staging: double-buffered lookahead (pipeline_depth 2) or
+        fetch-and-wait in place (pipeline_depth 1)."""
+        if prefetch:
+            @pl.when(c + 1 < nchunks)
+            def _():
+                fetch(c + 1, 1 - slot)
+        else:
+            fetch(c, slot)
+        wait_slot(slot)
+
+    def comp_chunk(c, _):
+        """CB independent comp passes merged into one aligned store."""
+        slot = lax.rem(c, 2)
+        stage_plans(c, slot)
+        cur = out_sc[:, 0:LANES]
+        for j in range(CB):
+            a_j, v_j = one_pass(slot * DCHUNK + j, comp_sc)
+            cur = jnp.where(a_j, v_j, cur)
+        out_sc[:, 0:LANES] = cur
+        return 0
+
+    def out_chunk(c, _):
+        """CB scheduled out passes; maintains the paired mirror."""
+        slot = lax.rem(c, 2)
+        stage_plans(c, slot)
+        for j in range(CB):
+            a, v = one_pass(slot * DCHUNK + j, out_sc)
+            cur = out_sc[:, 0:LANES]
+            new = jnp.where(a, v, cur)
+            out_sc[:, 0:LANES] = new
+            out_sc[:, LANES:] = jnp.roll(new, -1, axis=0)
+        return 0
+
+    nchunks = npass // DCHUNK
+    ncomp_chunks = ncomp // DCHUNK
+    if prefetch:
+        fetch(0, 0)
+    lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
+    # Comp batches skip mirror upkeep; sync once before the out phase.
+    out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
+    lax.fori_loop(ncomp_chunks, nchunks, out_chunk, 0)
+
+    out_ref[0] = (out_sc[:, 0:LANES].astype(jnp.int32) + 128).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth"))
+def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
+                       comp_rows: int, out_rows: int,
+                       interpret: bool = False, pipeline_depth: int = 2):
+    """Decode a batch of blocks via flat (pad-free) scheduled plans.
+
+    Args:
+      comp:     [N, comp_rows, 128] int8 biased compressed planes
+                (byte - 128; see ``bias_planes``)
+      p_used:   [N] int32 per-block pass counts (multiples of CB, >= CB)
+      p_off:    [N] int32 per-block start row into the flat plan arrays
+      p0:       [N] int32 per-block comp-pass counts (multiples of CB)
+      se_flat:  [S, out_rows/128, 128] int16, S >= sum(p_used) + DCHUNK
+                (slack rows keep the fixed-size DMA in bounds; contents
+                are never read)
+      shift_flat: [S, out_rows/128, 128] int32
+      pipeline_depth: 2 = prefetch the next plan chunk during compute
+                (default); 1 = serial fetch-then-compute (debug/compare)
+
+    Returns [N, out_rows, 128] uint8 decoded byte planes.
+    """
+    assert pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2"
+    n = comp.shape[0]
+    nrows = out_rows
+    assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
+    assert comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows"
+    assert se_flat.shape[0] >= DCHUNK, "plan arrays need DCHUNK slack rows"
+    assert se_flat.dtype == jnp.int16 and shift_flat.dtype == jnp.int32
+    assert comp.dtype == jnp.int8
+    tiles = nrows // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # se_flat (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # shift_flat (HBM)
+            pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_rows, 128), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((comp_rows, 2 * LANES), jnp.int8),
+            pltpu.VMEM((out_rows, 2 * LANES), jnp.int8),
+            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int16),
+            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
+        prefetch=pipeline_depth == 2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_rows, 128), jnp.uint8),
+        interpret=interpret,
+    )(p_used, p_off, p0, se_flat, shift_flat, comp)
+
+
+@functools.partial(jax.jit, static_argnames=("comp_rows",))
+def bias_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
+    """[n, slot] u8 arena rows -> [n, comp_rows, 128] int8 biased planes."""
+    n = rows_u8.shape[0]
+    want = comp_rows * 128
+    have = rows_u8.shape[1]
+    flat = rows_u8[:, :want] if have >= want else jnp.pad(
+        rows_u8, ((0, 0), (0, want - have)))
+    return (flat.astype(jnp.int32) - 128).astype(jnp.int8).reshape(
+        n, comp_rows, 128)
+
+
+def pad_plan_counts(P: int, p0: int) -> tuple[int, int]:
+    """Pad (total, comp) pass counts to CB multiples (empty passes)."""
+    p0_pad = -(-p0 // CB) * CB
+    total_pad = p0_pad + -(-(P - p0) // CB) * CB
+    return max(total_pad, CB), p0_pad
+
+
+def pack_plan_flat(r_dstart, r_dend, r_shift, p0, comp_rows):
+    """Host-side flat-plan packing for one block.
+
+    Takes the planner's [P, nrows] int32 tables (block-absolute
+    dstart/dend, plane-local shifts, comp-pass count p0) and produces the
+    padded flat wire rows:
+
+      (se [Ppad, nrows] int16, shift [Ppad, nrows] int32, Ppad, p0_pad)
+
+    Comp passes land in [0, p0_pad), out passes in [p0_pad, Ppad);
+    padding passes are empty (se == 0).  ``comp_rows`` is unused (shifts
+    stay plane-local with split planes) but kept for signature stability.
+    """
+    del comp_rows
+    P, nrows = r_dstart.shape
+    row_lo = np.arange(nrows, dtype=np.int32)[None, :] * LANES
+    start = np.clip(r_dstart - row_lo, 0, LANES).astype(np.int32)
+    end = np.clip(r_dend - row_lo, 0, LANES).astype(np.int32)
+    se = ((start << 8) | end).astype(np.int16)    # start<=127 -> fits 15 bits
+    shift = r_shift
+
+    Ppad, p0_pad = pad_plan_counts(P, p0)
+    se_o = np.zeros((Ppad, nrows), np.int16)
+    sh_o = np.zeros((Ppad, nrows), np.int32)
+    se_o[:p0] = se[:p0]
+    sh_o[:p0] = shift[:p0]
+    nout = P - p0
+    se_o[p0_pad:p0_pad + nout] = se[p0:P]
+    sh_o[p0_pad:p0_pad + nout] = shift[p0:P]
+    return se_o, sh_o, Ppad, p0_pad
+
+
+def build_flat_plans(per_block, comp_rows, nrows):
+    """Assemble per-block planner outputs into the kernel's wire arrays.
+
+    ``per_block``: list of (P, p0, cols) planner results.
+    Returns dict with p_used, p_off, p0 (all [N] int32), se
+    [S, tiles, 128] int16, shift [S, tiles, 128] int32 (S includes
+    DCHUNK slack rows).
+    """
+    tiles = nrows // LANES
+    packed = [
+        pack_plan_flat(cols["r_dstart"][:P], cols["r_dend"][:P],
+                       cols["r_shift"][:P], p0, comp_rows)
+        for (P, p0, cols) in per_block]
+    n = len(packed)
+    p_used = np.array([p[2] for p in packed], np.int32)
+    p0s = np.array([p[3] for p in packed], np.int32)
+    p_off = np.zeros(n, np.int32)
+    p_off[1:] = np.cumsum(p_used)[:-1]
+    S = int(p_used.sum())
+    se = np.zeros((S + DCHUNK, tiles, LANES), np.int16)
+    shift = np.zeros((S + DCHUNK, tiles, LANES), np.int32)
+    for i, (se_i, sh_i, Ppad, _) in enumerate(packed):
+        o = p_off[i]
+        se[o:o + Ppad] = se_i.reshape(Ppad, tiles, LANES)
+        shift[o:o + Ppad] = sh_i.reshape(Ppad, tiles, LANES)
+    return {"p_used": p_used, "p_off": p_off, "p0": p0s,
+            "se": se, "shift": shift}
+
+
+def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):
+    """Numpy oracle with the kernel's exact semantics (for tests)."""
+    n = len(comp_bytes)
+    out = np.zeros((n, out_rows * LANES), np.uint8)
+    for i in range(n):
+        comp_plane = np.zeros(comp_rows * LANES, np.int64)
+        cb = np.frombuffer(bytes(comp_bytes[i]), np.uint8)
+        comp_plane[:len(cb)] = cb
+        out_plane = np.zeros(out_rows * LANES, np.int64)
+        p = np.arange(out_rows * LANES)
+        ncomp = int(plans["p0"][i])
+        for k in range(int(plans["p_used"][i])):
+            row = int(plans["p_off"][i]) + k
+            se = plans["se"][row].reshape(-1).astype(np.int32)
+            shift = plans["shift"][row].reshape(-1)
+            start = np.repeat((se >> 8) & 0x7F, LANES)
+            end = np.repeat(se & 0xFF, LANES)
+            lane = p & (LANES - 1)
+            active = (lane >= start) & (lane < end)
+            src_plane = comp_plane if k < ncomp else out_plane
+            src = np.clip(p + np.repeat(shift, LANES), 0,
+                          src_plane.shape[0] - 1)
+            out_plane = np.where(active, src_plane[src], out_plane)
+        out[i] = out_plane
+    return out.reshape(n, out_rows, LANES)

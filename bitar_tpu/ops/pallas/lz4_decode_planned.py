@@ -1,6 +1,9 @@
-"""Plan-execute Pallas decoder: scheduled slope-1 fragment passes.
+"""Plan-execute Pallas decoder: dense scheduled slope-1 fragment passes.
 
-The fast LZ4/Snappy decode path.  The host planner (``plan.cc``) turns a
+The mesh-sharded decode path: dense [n, passes, tiles, 128] plans shard
+cleanly over a device mesh (``parallel/pipeline.py`` fuses them with the
+all_to_all shuffle), unlike the ragged flat wire of the single-chip fast
+path (``lz4_decode_flat.py``, which supersedes this kernel on one chip).  The host planner (``plan.cc``) turns a
 block into P scheduled passes; each pass materializes at most one fragment
 per 128-byte output row, with every fragment a slope-1 copy from a single
 stacked source plane S = [comp rows | output rows].  One pass is pure
@@ -172,121 +175,6 @@ def decode_blocks_planned(comp, p_used, se, shift, *, passes: int,
         out_shape=jax.ShapeDtypeStruct((n, out_rows, 128), jnp.uint8),
         interpret=interpret,
     )(p_used, se, shift, comp)
-
-
-def _planned_kernel_flat(p_used_ref, p_off_ref, se_ref, shift_ref, comp_ref,
-                         out_ref, s_ref, se_buf, shift_buf, sems, *,
-                         comp_rows: int, out_rows: int):
-    """Flat-plan variant: plans live as ONE HBM-resident array of used
-    passes across the whole batch (no pad passes on the wire); each pass's
-    (tiles, 128) plan rows are DMA'd into VMEM scratch on demand.
-
-    Extra refs vs ``_planned_kernel``:
-      p_off_ref (N,) SMEM    per-block start row in the flat plan arrays
-      se_ref/shift_ref       [S, tiles, 128] int32 in HBM (pltpu.ANY)
-      se_buf/shift_buf       (tiles, 128) int32 VMEM scratch
-      sems                   2 DMA semaphores
-    """
-    nrows = out_rows
-    w_rows = s_ref.shape[0]
-    b = pl.program_id(0)
-
-    s_ref[0:comp_rows, :] = comp_ref[0, :, :].astype(jnp.int32).astype(jnp.bfloat16)
-    s_ref[comp_rows:, :] = jnp.zeros((w_rows - comp_rows, LANES), jnp.bfloat16)
-
-    lane_iota = lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
-    row_base = lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0) * LANES
-    byte_iota = row_base + lane_iota
-    kiota = lax.broadcasted_iota(jnp.int32, (nrows, KCHUNK), 1)
-
-    def row_gather(row_idx):
-        acc = jnp.zeros((nrows, LANES), jnp.float32)
-        for ck in range(0, w_rows, KCHUNK):
-            oh = (kiota == (row_idx - ck)).astype(jnp.bfloat16)
-            acc += jnp.dot(oh, s_ref[ck:ck + KCHUNK, :],
-                           preferred_element_type=jnp.float32)
-        return acc
-
-    def pass_body(k, _):
-        row = p_off_ref[b] + k
-        cp_se = pltpu.make_async_copy(se_ref.at[row], se_buf, sems.at[0])
-        cp_sh = pltpu.make_async_copy(shift_ref.at[row], shift_buf, sems.at[1])
-        cp_se.start()
-        cp_sh.start()
-        cp_se.wait()
-        cp_sh.wait()
-        se = _rowcast(se_buf[:, :])
-        shift = _rowcast(shift_buf[:, :])
-        start = lax.shift_right_logical(se, 8)
-        end = lax.bitwise_and(se, 0xFF)
-
-        active = jnp.logical_and(lane_iota >= start, lane_iota < end)
-        q = byte_iota + shift
-        qrow = lax.shift_right_logical(jnp.where(active, q, 0), 7)
-        qlane = lax.bitwise_and(q, LANES - 1)
-        qrow_masked = jnp.where(active, qrow, 1 << 29)
-        row_a = jnp.minimum(jnp.min(qrow_masked, axis=1, keepdims=True),
-                            w_rows - 2)
-        gath_a = row_gather(row_a)
-        gath_b = row_gather(row_a + 1)
-        v_a = jnp.take_along_axis(gath_a, qlane, axis=1)
-        v_b = jnp.take_along_axis(gath_b, qlane, axis=1)
-        val = jnp.where(qrow == row_a, v_a, v_b).astype(jnp.bfloat16)
-        cur = s_ref[comp_rows:comp_rows + nrows, :]
-        s_ref[comp_rows:comp_rows + nrows, :] = jnp.where(active, val, cur)
-        return 0
-
-    lax.fori_loop(0, p_used_ref[b], pass_body, 0)
-    out_ref[0, :, :] = (
-        s_ref[comp_rows:comp_rows + nrows, :].astype(jnp.int32).astype(jnp.uint8))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("comp_rows", "out_rows", "interpret"))
-def decode_blocks_planned_flat(comp, p_used, p_off, se_flat, shift_flat, *,
-                               comp_rows: int, out_rows: int,
-                               interpret: bool = False):
-    """Decode with flat (pad-free) plan arrays.
-
-    Args:
-      comp:     [N, comp_rows, 128] uint8
-      p_used:   [N] int32 per-block pass counts
-      p_off:    [N] int32 per-block start row into the flat plan
-      se_flat, shift_flat: [S, out_rows/128, 128] int32, S = sum(p_used)
-    Returns [N, out_rows, 128] uint8.
-    """
-    n = comp.shape[0]
-    nrows = out_rows
-    assert nrows % LANES == 0
-    assert comp_rows % 32 == 0
-    tiles = nrows // LANES
-    w_rows = -(-(comp_rows + nrows) // KCHUNK) * KCHUNK
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # se_flat stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # shift_flat stays in HBM
-            pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, out_rows, 128), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((w_rows, LANES), jnp.bfloat16),
-            pltpu.VMEM((tiles, LANES), jnp.int32),
-            pltpu.VMEM((tiles, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _planned_kernel_flat, comp_rows=comp_rows, out_rows=out_rows)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, out_rows, 128), jnp.uint8),
-        interpret=interpret,
-    )(p_used, p_off, se_flat, shift_flat, comp)
 
 
 def pack_plan(r_dstart, r_dend, r_shift, p0, total_passes, comp_rows):

@@ -97,7 +97,7 @@ def test_engine_planned_path_roundtrip(rng):
     with planned_engine() as eng:
         data = (b"engine planned path " * 2000)[:2 * BLOCK + 777]
         unit = eng.compress(data)
-        assert unit.plan_se is not None, "expected planned unit"
+        assert unit.plan_flat is not None, "expected planned unit"
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)
@@ -120,49 +120,49 @@ def test_engine_small_blocks_fall_back_to_tables(rng):
     with planned_engine(**cfg) as eng:
         data = (b"fallback " * 300)[:2500]
         unit = eng.compress(data)
-        assert unit.plan_se is None and unit.tables is not None
+        assert unit.plan_flat is None and unit.tables is not None
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)
 
 
 def test_flat_plan_variant(rng):
-    # Pad-free HBM-resident plans with per-pass DMA staging.
-    from bitar_tpu.ops.pallas.lz4_decode_planned import (
-        decode_blocks_planned_flat, pack_plan)
+    # Pad-free HBM-resident plans with double-buffered per-chunk DMA (the
+    # production kernel), against the numpy oracle and raw bytes.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        build_flat_plans, decode_blocks_flat, decode_flat_numpy)
+    import jax.numpy as jnp
 
-    block, nrows, tiles = BLOCK, NROWS, NROWS // 128
+    block, nrows = BLOCK, NROWS
     datas = [
         (b"flat wire " * (block // 9 + 1))[:block],
         rng.integers(0, 8, block, dtype=np.uint8).tobytes(),
         b"\x77" * block,
     ]
     comps = [np.asarray(native.lz4_compress(d)) for d in datas]
-    plans = [native.plan_block(c, block, nrows, max_passes=96, codec="lz4")
-             for c in comps]
-    assert all(p[0] is not None for p in plans)
+    raw_plans = [native.plan_block(c, block, nrows, max_passes=96, codec="lz4")
+                 for c in comps]
+    assert all(p[0] is not None for p in raw_plans)
     comp_rows = -(-max(len(c) for c in comps) // 128)
-    comp_rows = -(-comp_rows // 32) * 32
+    comp_rows = -(-comp_rows // 128) * 128
+    plans = build_flat_plans(raw_plans, comp_rows, nrows)
     n = len(datas)
     cp = np.zeros((n, comp_rows, 128), np.uint8)
     for i, c in enumerate(comps):
         cp[i].reshape(-1)[:len(c)] = c
-    p_used = np.array([p[0] for p in plans], np.int32)
-    p_off = np.concatenate([[0], np.cumsum(p_used)[:-1]]).astype(np.int32)
-    s = int(p_used.sum())
-    se = np.zeros((s, nrows), np.int32)
-    sh = np.zeros_like(se)
-    for i, (P, p0, cols) in enumerate(plans):
-        se_i, sh_i = pack_plan(cols["r_dstart"][:P], cols["r_dend"][:P],
-                               cols["r_shift"][:P], p0, P, comp_rows)
-        se[p_off[i]:p_off[i] + P] = se_i
-        sh[p_off[i]:p_off[i] + P] = sh_i
-    out = np.asarray(decode_blocks_planned_flat(
-        cp, p_used, p_off, se.reshape(s, tiles, 128),
-        sh.reshape(s, tiles, 128), comp_rows=comp_rows, out_rows=nrows,
-        interpret=True))
+    oracle = decode_flat_numpy(comps, plans, comp_rows, nrows)
     for i, d in enumerate(datas):
-        assert out[i].reshape(-1)[:block].tobytes() == d, f"block {i}"
+        assert oracle[i].reshape(-1)[:block].tobytes() == d, f"oracle {i}"
+    cp_i8 = (cp.astype(np.int32) - 128).astype(np.int8)
+    for depth in (2, 1):
+        out = np.asarray(decode_blocks_flat(
+            jnp.asarray(cp_i8), jnp.asarray(plans["p_used"]),
+            jnp.asarray(plans["p_off"]), jnp.asarray(plans["p0"]),
+            jnp.asarray(plans["se"]), jnp.asarray(plans["shift"]),
+            comp_rows=comp_rows, out_rows=nrows, interpret=True,
+            pipeline_depth=depth))
+        for i, d in enumerate(datas):
+            assert out[i].reshape(-1)[:block].tobytes() == d, f"block {i} depth {depth}"
 
 
 def test_decompress_device_planned(rng):
@@ -170,7 +170,7 @@ def test_decompress_device_planned(rng):
     with planned_engine() as eng:
         data = (b"device resident " * (BLOCK // 15 + 1))[:BLOCK] + b"\x44" * BLOCK
         unit = eng.compress(data)
-        assert unit.plan_se is not None
+        assert unit.plan_flat is not None
         bursts = eng.decompress_device(unit)
         jax.block_until_ready(bursts)
         host = np.concatenate(
