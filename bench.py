@@ -94,9 +94,13 @@ def main() -> int:
         comp_best = min(comp_best, dt)
         print(f"bench: compress run {run}: {dt * 1e3:.1f} ms "
               f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
+    t0 = time.perf_counter()
+    eng.ensure_plans(unit)
+    plan_ms = (time.perf_counter() - t0) * 1e3
     print(f"bench: ratio={unit.manifest.ratio():.3f} blocks={unit.nblocks} "
           f"planned={unit.plan_flat is not None} "
-          f"passes={int(unit.plan_flat['p_used'].sum()) if unit.plan_flat else -1}",
+          f"passes={int(unit.plan_flat['p_used'].sum()) if unit.plan_flat else -1} "
+          f"plan_build={plan_ms:.1f}ms",
           file=sys.stderr)
 
     # Correctness gate: full engine round-trip, byte-exact.

@@ -26,10 +26,8 @@ sidecar tables fall back to the host path.
 
 from __future__ import annotations
 
-import concurrent.futures
 import enum
 import functools
-import os
 import threading
 from dataclasses import dataclass, field
 
@@ -52,9 +50,10 @@ from ..ops.cpu import native
 from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
 from ..ops.pallas.lz4_decode_flat import (
+    CB as FLAT_CB,
     bias_planes,
-    build_flat_plans,
     decode_blocks_flat,
+    flatten_batch_plans,
 )
 from ..status import Status, StatusError
 from ..utils.logging import get_logger
@@ -109,6 +108,13 @@ class CompressedUnit:
     plan_comp_rows: int = 0
     recycled: bool = field(default=False)
     _plan_dev: tuple | None = field(default=None, repr=False)
+    #: Host copy of the staged slot rows, kept by compress/import so the
+    #: lazy decode-sidecar builders (ensure_plans/ensure_tables) never pay
+    #: a device readback; dropped once plans exist.
+    _staging: np.ndarray | None = field(default=None, repr=False)
+    #: True once ensure_plans ran (a planning *attempt* is one-shot even
+    #: when it fails and the unit falls back to tables/host decode).
+    _planned: bool = field(default=False, repr=False)
 
     def plan_device_arrays(self):
         """The unit's flat plan (se, shift) as device arrays, uploaded once
@@ -250,9 +256,6 @@ class Engine:
                 o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
                 manifest.checksums[i] = checksum_of(cfg.checksum, raw[o:o + ln])
 
-        tables, nseq = self._build_tables(manifest, staging)
-        plans = self._build_plans(manifest, staging)
-
         refs = self.arena.take_refs(
             [int(x) for x in dst_len], [int(c) for c in codec_ids])
         for start in range(0, n, cfg.burst_size):
@@ -262,11 +265,12 @@ class Engine:
                 jnp.asarray(staging[start:stop]))
         self.stats.dequeued_blocks += n
         self.stats.bytes_compressed += int(manifest.total_raw)
-        unit = CompressedUnit(manifest=manifest, refs=refs, engine=self,
-                              tables=tables, nseq=nseq)
-        if plans is not None:
-            unit.plan_flat, unit.plan_comp_rows = plans
-        return unit
+        # Decode sidecars (plans / sequence tables) build lazily at first
+        # decompress (ensure_plans): compression's product is the
+        # container, and the reference's compress likewise ends when
+        # output sits in pool memory (device.cc:157-238).
+        return CompressedUnit(manifest=manifest, refs=refs, engine=self,
+                              _staging=staging)
 
     # ------------------------------------------------------------------
     def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
@@ -367,50 +371,23 @@ class Engine:
         comp_rows = max(128, -(-int(manifest.comp_len.max(initial=1)) // 128))
         comp_rows = -(-comp_rows // 128) * 128
         n = manifest.nblocks
+        slot = staging.shape[1]
 
-        def plan_one(i: int):
-            codec = codec_from_id(int(manifest.codec_ids[i]))
-            comp = staging[i, :int(manifest.comp_len[i])]
-            raw_len = int(manifest.raw_len[i])
-            if codec in (Codec.LZ4, Codec.SNAPPY):
-                best = None
-                for split in (4, 8):
-                    native.set_split_limit(split)
-                    try:
-                        P, p0, cols = native.plan_block(
-                            comp, raw_len, nrows,
-                            max_passes=self._PLAN_MAX_PASSES,
-                            codec=registry.get_impl(codec).parse_name)
-                    except StatusError:
-                        # Malformed/foreign block (e.g. a manifest whose
-                        # raw_len disagrees with the stream): never fatal
-                        # here — the host decode path re-validates and
-                        # reports the real per-block status.
-                        return None
-                    if P is not None and (best is None or P < best[0]):
-                        best = (P, p0, cols)
-                    if P is not None and P <= 16:
-                        break
-                return best
-            if codec == Codec.RAW:
-                cols = {k: np.zeros((1, nrows), np.int32)
-                        for k in ("r_dstart", "r_dend", "r_shift")}
-                rows_used = -(-raw_len // 128)
-                cols["r_dend"][0, :rows_used] = np.minimum(
-                    raw_len, (np.arange(rows_used) + 1) * 128)
-                return (1, 1, cols)
-            return None               # zstd: host path
-
-        # The native planner releases the GIL; fan out across blocks (the
-        # host-side "burst assembly" workers of the reference, but for
-        # plan construction).  The split limit is thread_local in the
-        # native library, so concurrent workers stay deterministic.
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=min(8, os.cpu_count() or 4)) as pool:
-            per_block = list(pool.map(plan_one, range(n)))
-        if any(p is None for p in per_block):
-            return None
-        return build_flat_plans(per_block, comp_rows, nrows), comp_rows
+        # One native call plans the whole burst: parse + fragment build +
+        # schedule + flat-wire pack across worker threads (the reference's
+        # burst-assembly fan-out, memory.cc:238-348, applied to plan
+        # construction).  Unplannable or malformed blocks surface in the
+        # per-block status — the host decode path re-validates and
+        # reports the real error.
+        se, shift, p_used, p0, status = native.plan_batch_flat(
+            staging.reshape(-1),
+            np.arange(n, dtype=np.int64) * slot,
+            manifest.comp_len, manifest.raw_len, manifest.codec_ids,
+            nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB)
+        if (status != 0).any():
+            return None               # zstd/unplannable: fallback paths
+        plans = flatten_batch_plans(se, shift, p_used, p0, nrows)
+        return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
                    ) -> np.ndarray:
@@ -431,6 +408,8 @@ class Engine:
             raise StatusError(Status.CapacityError(
                 f"output buffer {out.shape[0]} < total_raw {m.total_raw}"))
 
+        if self.config.use_tpu_kernels:
+            self.ensure_plans(unit)
         if self.config.use_tpu_kernels and unit.plan_flat is not None:
             self._decompress_tpu_planned(unit, out)
         elif self.config.use_tpu_kernels and unit.tables is not None:
@@ -461,6 +440,7 @@ class Engine:
         wraps this with readout + reassembly."""
         self._entry_guard()
         unit._check_live()
+        self.ensure_plans(unit)
         if unit.plan_flat is not None:
             results = [r for _, r in self._planned_bursts(unit)]
             self.stats.tpu_decode_bursts += len(results)
@@ -614,19 +594,54 @@ class Engine:
         for i in range(n):
             o, ln = int(m.comp_off[i]), int(m.comp_len[i])
             staging[i, :ln] = cb.packed[o:o + ln]
-        tables, nseq = self._build_tables(m, staging)
-        plans = self._build_plans(m, staging)
         refs = self.arena.take_refs(
             [int(x) for x in m.comp_len], [int(c) for c in m.codec_ids])
         for start in range(0, n, self.config.burst_size):
             stop = min(n, start + self.config.burst_size)
             self.arena.write_burst([r.slot for r in refs[start:stop]],
                                    jnp.asarray(staging[start:stop]))
-        unit = CompressedUnit(manifest=m, refs=refs, engine=self,
-                              tables=tables, nseq=nseq)
+        return CompressedUnit(manifest=m, refs=refs, engine=self,
+                              _staging=staging)
+
+    def _staging_rows(self, unit: CompressedUnit) -> np.ndarray:
+        """Host view of the unit's slot rows (cached copy or arena gather)."""
+        if unit._staging is not None:
+            return unit._staging
+        return np.asarray(self.arena.gather_burst([r.slot for r in unit.refs]))
+
+    def ensure_plans(self, unit: CompressedUnit) -> None:
+        """Build the unit's decode sidecar on demand (one attempt).
+
+        Plans (the fast kernel's wire) and, when planning fails, sequence
+        tables (the fallback kernel's) are decode-time artifacts: compress
+        and import defer them here so compression cost is codec+staging
+        only, like the reference.  The result is cached on the unit; the
+        host staging copy is dropped afterwards."""
+        self._entry_guard()
+        unit._check_live()
+        if unit._planned:
+            return
+        staging = self._staging_rows(unit)
+        plans = self._build_plans(unit.manifest, staging)
         if plans is not None:
             unit.plan_flat, unit.plan_comp_rows = plans
-        return unit
+        elif unit.tables is None:
+            unit.tables, unit.nseq = self._build_tables(unit.manifest, staging)
+        unit._planned = True
+        unit._staging = None
+
+    def ensure_tables(self, unit: CompressedUnit) -> None:
+        """Build the unit's sequence-table sidecar on demand.
+
+        Callers that need the sequence-walk path specifically — e.g.
+        after disabling the plan sidecar — rebuild tables here from the
+        arena-resident compressed bytes."""
+        self._entry_guard()
+        unit._check_live()
+        if unit.tables is not None:
+            return
+        unit.tables, unit.nseq = self._build_tables(
+            unit.manifest, self._staging_rows(unit))
 
     def recycle(self, unit: CompressedUnit) -> int:
         """Return a unit's arena slots; returns the recycled count

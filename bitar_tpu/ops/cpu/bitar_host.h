@@ -110,6 +110,19 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
                   int32_t* r_dend, int32_t* r_shift, int32_t* pass_space,
                   int32_t* p0_out);
 
+/* Batched, multithreaded parse+plan+pack into the flat decode-kernel
+ * wire (see ops/pallas/lz4_decode_flat.py).  Block i's plan rows land at
+ * offset i*max_passes in se (int16, packed start<<8|end per (pass, row)
+ * cell) and shift (int32, plane-local source shifts); p_used/p0 receive
+ * cb-padded pass counts; status[i] = BT_OK or negative (BT_ERR_CAPACITY
+ * = unplannable, use the fallback kernel). */
+void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
+                   int nblocks, const uint8_t* src, const int64_t* src_off,
+                   const int32_t* src_len, const int32_t* out_len, int nrows,
+                   int max_passes, int split_limit, int cb, int16_t* se,
+                   int32_t* shift, int32_t* p_used, int32_t* p0,
+                   int32_t* status);
+
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);
 

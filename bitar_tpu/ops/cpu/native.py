@@ -75,6 +75,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fn.restype = None
         fn.argtypes = [ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
                        u8p, i64p, i32p, u8p, i64p, i32p, i32p]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.bt_plan_batch.restype = None
+    lib.bt_plan_batch.argtypes = [
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, i64p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i16p, i32p, i32p, i32p, i32p]
     lib.bt_plan_rows.restype = ctypes.c_int
     lib.bt_plan_rows.argtypes = [ctypes.c_int] + [i32p] * 5 + \
         [ctypes.c_int] * 3 + [i32p] * 5
@@ -238,6 +245,36 @@ def plan_block(data, out_len: int, nrows: int, max_passes: int = 32,
 
 
 _CODEC_INT = {"lz4": 0, "snappy": 1, "zstd": 2, "raw": 3}
+
+
+def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
+                    out_len: np.ndarray, codec_ids: np.ndarray, nrows: int,
+                    max_passes: int, cb: int, split_limit: int = 8,
+                    nthreads: int = 0):
+    """Batched parse+plan+pack into the flat decode-kernel wire.
+
+    Returns (se [n, max_passes, nrows] int16, shift int32, p_used [n],
+    p0 [n], status [n]); blocks with status != 0 have no plan (fall back).
+    The per-(pass,row) cell format matches ``lz4_decode_flat``.
+    """
+    n = int(src_len.shape[0])
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    se = np.empty((n, max_passes, nrows), np.int16)
+    shift = np.empty((n, max_passes, nrows), np.int32)
+    p_used = np.zeros(n, np.int32)
+    p0 = np.zeros(n, np.int32)
+    status = np.zeros(n, np.int32)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    load().bt_plan_batch(
+        0, _i32ptr(np.ascontiguousarray(codec_ids, np.int32)), nthreads, n,
+        _u8ptr(src), _i64ptr(np.ascontiguousarray(src_off, np.int64)),
+        _i32ptr(np.ascontiguousarray(src_len, np.int32)),
+        _i32ptr(np.ascontiguousarray(out_len, np.int32)),
+        nrows, max_passes, split_limit, cb,
+        se.ctypes.data_as(i16p), _i32ptr(shift), _i32ptr(p_used),
+        _i32ptr(p0), _i32ptr(status))
+    return se, shift, p_used, p0, status
 
 
 def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,

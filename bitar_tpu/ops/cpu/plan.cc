@@ -29,7 +29,9 @@
 #include "bitar_host.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -47,14 +49,24 @@ struct Frag {
 class Planner {
  public:
   // Fragment covering output pos (fragments are dense, dst-ordered).
+  // Sources overwhelmingly sit near the end of the built prefix (small
+  // match offsets), so probe the tail linearly before binary search.
   int FindIdx(int32_t pos) const {
-    size_t lo = 0, hi = frags_.size();
+    const size_t n = frags_.size();
+    if (n == 0) return -1;
+    for (size_t k = n; k > 0 && k + 8 > n; --k) {
+      const Frag& f = frags_[k - 1];
+      if (f.dst <= pos) {
+        return (f.dst + f.len > pos) ? static_cast<int>(k - 1) : -1;
+      }
+    }
+    size_t lo = 0, hi = n;
     while (lo < hi) {
       const size_t mid = (lo + hi) / 2;
       if (frags_[mid].dst + frags_[mid].len <= pos) lo = mid + 1;
       else hi = mid;
     }
-    if (lo >= frags_.size() || frags_[lo].dst > pos) return -1;
+    if (lo >= n || frags_[lo].dst > pos) return -1;
     return static_cast<int>(lo);
   }
 
@@ -85,10 +97,11 @@ class Planner {
   bool ProjectToComp(int32_t pos, int32_t len, std::vector<Piece>* pieces,
                      int depth) const {
     if (depth > 64) return false;
+    int fi = FindIdx(pos);
     while (len > 0) {
-      const int fi = FindIdx(pos);
-      if (fi < 0) return false;
+      if (fi < 0 || fi >= static_cast<int>(frags_.size())) return false;
       const Frag& f = frags_[fi];
+      if (f.dst > pos || f.dst + f.len <= pos) return false;  // gap
       const int32_t take = std::min(len, f.dst + f.len - pos);
       if (f.out_space) {
         if (!ProjectToComp(pos + f.shift, take, pieces, depth + 1)) {
@@ -106,6 +119,7 @@ class Planner {
       }
       pos += take;
       len -= take;
+      ++fi;  // fragments are dense: the next piece starts at f.dst + f.len
     }
     return true;
   }
@@ -208,14 +222,16 @@ class Planner {
       for (int r = r0; r <= r1; ++r) {
         const int32_t cell_lo = std::max(f.dst, r * 128);
         const int32_t cell_hi = std::min(f.dst + f.len, (r + 1) * 128);
-        // Dependency floor over the source range of this cell.
+        // Dependency floor over the source range of this cell (linear
+        // forward walk: fragments are dense).
         int floor_pass = p0 - 1;
         int32_t pos = cell_lo + f.shift;
         int32_t remaining = cell_hi - cell_lo;
+        int fi = FindIdx(pos);
         while (remaining > 0) {
-          const int fi = FindIdx(pos);
-          if (fi < 0) return -1;
+          if (fi < 0 || fi >= static_cast<int>(frags_.size())) return -1;
           const Frag& s = frags_[fi];
+          if (s.dst > pos || s.dst + s.len <= pos) return -1;
           const int32_t take = std::min(remaining, s.dst + s.len - pos);
           const int sr0 = s.dst / 128;
           for (int sr = pos / 128; sr <= (pos + take - 1) / 128; ++sr) {
@@ -224,6 +240,7 @@ class Planner {
           }
           pos += take;
           remaining -= take;
+          ++fi;
         }
         int pass = std::max(floor_pass + 1, p0);
         uint8_t* row_used = used.data() + static_cast<size_t>(r) * max_passes;
@@ -345,5 +362,167 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
 }
 
 void bt_set_split_limit(int v) { g_split_limit = v < 1 ? 1 : v; }
+
+}  // extern "C"
+
+namespace {
+
+// Plan ONE block straight into the flat kernel wire (se int16 packed
+// start<<8|end + plane-local shift), skipping the dense r_dstart/r_dend
+// intermediate of bt_plan_rows.  Comp passes land in [0, p0_pad), out
+// passes in [p0_pad, total_pad), both padded to `cb` multiples with empty
+// (zero) passes so the kernel's batched phase loops stay branch-free.
+// Returns BT_OK and fills p_used/p0 (padded counts), or a negative code
+// (BT_ERR_CAPACITY -> caller falls back to the sequence-walk kernel).
+int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
+                int nrows, int max_passes, int split_limit, int cb,
+                int16_t* se, int32_t* shift, int32_t* p_used_out,
+                int32_t* p0_out) {
+  if (out_len < 0 || static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
+    return BT_ERR_INVALID;
+  }
+  const auto pad = [cb](int v) { return (v + cb - 1) / cb * cb; };
+
+  if (codec == BT_CODEC_RAW) {
+    const int rows_used = (out_len + 127) / 128;
+    const int total = std::max(cb, pad(1));
+    std::memset(se, 0, sizeof(int16_t) * static_cast<size_t>(total) * nrows);
+    std::memset(shift, 0, sizeof(int32_t) * static_cast<size_t>(total) * nrows);
+    for (int r = 0; r < rows_used; ++r) {
+      const int end = std::min(128, out_len - r * 128);
+      se[r] = static_cast<int16_t>(end);  // start 0, pass 0
+    }
+    *p_used_out = total;
+    *p0_out = total;
+    return BT_OK;
+  }
+  if (codec != BT_CODEC_LZ4 && codec != BT_CODEC_SNAPPY) {
+    return BT_ERR_NOT_IMPLEMENTED;
+  }
+
+  // Parse into thread-local reusable sequence tables.
+  static thread_local std::vector<int32_t> seq_buf;
+  const int max_seq = src_len + 2;
+  if (static_cast<int>(seq_buf.size()) < max_seq * 5) {
+    seq_buf.resize(static_cast<size_t>(max_seq) * 5);
+  }
+  int32_t* lit_ptr = seq_buf.data();
+  int32_t* lit_len = lit_ptr + max_seq;
+  int32_t* offv = lit_len + max_seq;
+  int32_t* mlenv = offv + max_seq;
+  int32_t* out_posv = mlenv + max_seq;
+  const int nseq =
+      codec == BT_CODEC_LZ4
+          ? bt_lz4_parse(src, src_len, max_seq, lit_ptr, lit_len, offv, mlenv,
+                         out_posv)
+          : bt_snappy_parse(src, src_len, max_seq, lit_ptr, lit_len, offv,
+                            mlenv, out_posv);
+  if (nseq < 0) return nseq;
+
+  // Leave pass head-room for the cb padding of both phases.
+  const int budget = max_passes - 2 * (cb - 1);
+  if (budget <= 0) return BT_ERR_INVALID;
+
+  const int saved_split = g_split_limit;
+  g_split_limit = split_limit < 1 ? 1 : split_limit;
+  Planner planner;
+  const int max_frags = nrows * budget + 64;
+  const bool built =
+      planner.Build(nseq, lit_ptr, lit_len, offv, mlenv, out_posv, max_frags);
+  g_split_limit = saved_split;
+  if (!built) return BT_ERR_CAPACITY;
+
+  int32_t covered = 0;
+  for (const Frag& f : planner.frags()) {
+    if (f.dst != covered) return BT_ERR_IO;
+    covered += f.len;
+  }
+  if (covered != out_len) return BT_ERR_IO;
+
+  int p0 = 0;
+  const int total = planner.Schedule(nrows, budget, &p0);
+  if (total < 0) return BT_ERR_CAPACITY;
+
+  const int p0_pad = std::max(cb, pad(p0));
+  const int total_pad = p0_pad + pad(total - p0);
+  if (total_pad > max_passes) return BT_ERR_CAPACITY;
+  std::memset(se, 0, sizeof(int16_t) * static_cast<size_t>(total_pad) * nrows);
+  std::memset(shift, 0,
+              sizeof(int32_t) * static_cast<size_t>(total_pad) * nrows);
+
+  for (const Frag& f : planner.frags()) {
+    const int r0 = f.dst / 128;
+    const int r1 = (f.dst + f.len - 1) / 128;
+    for (int r = r0; r <= r1 && r < nrows; ++r) {
+      int pass = planner.cell_pass()[f.cell_base + (r - r0)];
+      if (f.out_space) pass = p0_pad + (pass - p0);
+      const size_t cell = static_cast<size_t>(pass) * nrows + r;
+      const int start = std::max(f.dst - r * 128, 0);
+      const int end = std::min(f.dst + f.len - r * 128, 128);
+      se[cell] = static_cast<int16_t>((start << 8) | end);
+      shift[cell] = f.shift;
+    }
+  }
+  *p_used_out = total_pad;
+  *p0_out = p0_pad;
+  return BT_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched, multithreaded parse+plan+pack into the flat kernel wire.
+//
+// Block i writes its plan rows at offset i*max_passes in se/shift (each
+// row is nrows cells); p_used[i]/p0[i] receive the cb-padded pass counts
+// and status[i] the per-block outcome (BT_ERR_CAPACITY = unplannable,
+// fall back; other negatives = malformed input).  Blocks whose first
+// attempt at `split_limit` exceeds the budget retry once at limit 2
+// (deep-chain data plans smaller with less comp-space resolution).
+void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
+                   int nblocks, const uint8_t* src, const int64_t* src_off,
+                   const int32_t* src_len, const int32_t* out_len, int nrows,
+                   int max_passes, int split_limit, int cb, int16_t* se,
+                   int32_t* shift, int32_t* p_used, int32_t* p0,
+                   int32_t* status) {
+  if (nblocks <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  const unsigned hw = std::thread::hardware_concurrency();
+  if (hw > 0 && nthreads > static_cast<int>(hw)) nthreads = static_cast<int>(hw);
+  if (nthreads > nblocks) nthreads = nblocks;
+
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= nblocks) return;
+      const int c = codec_ids != nullptr ? codec_ids[i] : codec;
+      const size_t base = static_cast<size_t>(i) * max_passes * nrows;
+      int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
+                           max_passes, split_limit, cb, se + base,
+                           shift + base, p_used + i, p0 + i);
+      if (rc == BT_ERR_CAPACITY && split_limit != 2) {
+        rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
+                         max_passes, /*split_limit=*/2, cb, se + base,
+                         shift + base, p_used + i, p0 + i);
+      }
+      status[i] = rc;
+      if (rc != BT_OK) {
+        p_used[i] = 0;
+        p0[i] = 0;
+      }
+    }
+  };
+
+  if (nthreads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(nthreads));
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
 
 }  // extern "C"

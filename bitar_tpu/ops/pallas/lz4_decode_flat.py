@@ -315,6 +315,30 @@ def pack_plan_flat(r_dstart, r_dend, r_shift, p0, comp_rows):
     return se_o, sh_o, Ppad, p0_pad
 
 
+def flatten_batch_plans(se, shift, p_used, p0, nrows):
+    """Compact ``bt_plan_batch`` buffers into the flat wire dict.
+
+    ``se``/``shift``: [n, max_passes, nrows] per-block plan buffers with
+    only the first ``p_used[i]`` passes populated.  Returns the same dict
+    shape as ``build_flat_plans`` (pad-free rows + DCHUNK slack).
+    """
+    n, mp, _ = se.shape
+    tiles = nrows // LANES
+    p_used = p_used.astype(np.int32)
+    p_off = np.zeros(n, np.int32)
+    p_off[1:] = np.cumsum(p_used)[:-1]
+    S = int(p_used.sum())
+    sel = np.concatenate(
+        [np.arange(i * mp, i * mp + int(p_used[i])) for i in range(n)]
+    ) if n else np.zeros(0, np.int64)
+    se_flat = np.zeros((S + DCHUNK, tiles, LANES), np.int16)
+    sh_flat = np.zeros((S + DCHUNK, tiles, LANES), np.int32)
+    se_flat[:S] = se.reshape(n * mp, tiles, LANES)[sel]
+    sh_flat[:S] = shift.reshape(n * mp, tiles, LANES)[sel]
+    return {"p_used": p_used, "p_off": p_off, "p0": p0.astype(np.int32),
+            "se": se_flat, "shift": sh_flat}
+
+
 def build_flat_plans(per_block, comp_rows, nrows):
     """Assemble per-block planner outputs into the kernel's wire arrays.
 

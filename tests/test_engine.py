@@ -66,8 +66,9 @@ def test_tpu_kernel_path_interpret(rng):
     with bt.Engine(cfg) as eng:
         data = (b"pallas path! " * 60)[:700]
         unit = eng.compress(data)
-        assert unit.tables is not None
         out = eng.decompress(unit)
+        # small blocks can't plan -> lazily built sequence tables
+        assert unit.tables is not None
         assert out.tobytes() == data
         assert eng.stats.tpu_decode_bursts > 0
         eng.recycle(unit)

