@@ -287,7 +287,11 @@ class Engine:
             if codec in (Codec.LZ4, Codec.SNAPPY):
                 impl = registry.get_impl(codec)
                 from ..ops.cpu import native
-                t = native.parse_sequences(comp, impl.parse_name)
+                try:
+                    t = native.parse_sequences(comp, impl.parse_name)
+                except StatusError:
+                    # Malformed block: host path reports per-block status.
+                    return None, None
                 # Cross-check the parsed stream's decoded extent against the
                 # manifest before handing the tables to the TPU kernel: a
                 # foreign block decoding to more than raw_len would drive
@@ -384,9 +388,17 @@ class Engine:
             np.arange(n, dtype=np.int64) * slot,
             manifest.comp_len, manifest.raw_len, manifest.codec_ids,
             nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB)
-        if (status != 0).any():
-            return None               # zstd/unplannable: fallback paths
+        ok = status == 0
+        if not ok.any():
+            return None               # nothing plannable: fallback paths
+        # Unplannable/zstd/malformed blocks keep p_used == 0 (the kernel
+        # skips them) and decode per block on the host path — no
+        # whole-unit fallback (reference decodes each op independently,
+        # device.cc:512-520).
+        p_used[~ok] = 0
+        p0[~ok] = 0
         plans = flatten_batch_plans(se, shift, p_used, p0, nrows)
+        plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
@@ -395,7 +407,31 @@ class Engine:
 
         Mirrors ``CompressDevice::Decompress`` (``device.cc:241-318``):
         caller may provide an output buffer of at least ``total_raw`` bytes
-        (the ResizableBuffer contract); the returned view is sized exactly."""
+        (the ResizableBuffer contract); the returned view is sized exactly.
+        Raises on any block failure, naming EVERY failed block (the
+        reference walks all ops before reporting, ``device.cc:512-520``);
+        use :meth:`decompress_status` for the non-raising per-block form."""
+        out, status = self.decompress_status(unit, out)
+        bad = np.flatnonzero(status < 0)
+        if bad.size:
+            raise StatusError(Status.from_int(
+                int(status[bad[0]]),
+                f"decompress failed on {bad.size}/{status.shape[0]} blocks "
+                f"{bad.tolist()[:16]} "
+                f"(statuses {status[bad].tolist()[:16]})"))
+        return out
+
+    def decompress_status(self, unit: CompressedUnit,
+                          out: np.ndarray | None = None
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Decompress with per-block status reporting (never raises for
+        data errors).
+
+        Returns ``(out_view, status)`` where ``status[i]`` is 0 for a
+        byte-verified block and a negative StatusCode for a failed one —
+        the analog of the reference's per-op status walk at dequeue
+        (``device.cc:512-520``).  Good blocks land in ``out`` even when
+        neighbors fail."""
         self._entry_guard()
         unit._check_live()
         if unit.engine is not self:
@@ -411,23 +447,37 @@ class Engine:
         if self.config.use_tpu_kernels:
             self.ensure_plans(unit)
         if self.config.use_tpu_kernels and unit.plan_flat is not None:
-            self._decompress_tpu_planned(unit, out)
+            status = self._decompress_tpu_planned(unit, out)
         elif self.config.use_tpu_kernels and unit.tables is not None:
-            self._decompress_tpu(unit, out)
+            status = self._decompress_tpu(unit, out)
         else:
-            self._decompress_host(unit, out)
+            status = self._decompress_host(unit, out)
 
         if m.checksum_kind != Checksum.NONE:
             for i in range(m.nblocks):
+                if status[i] < 0:
+                    continue
                 o, ln = int(m.raw_off[i]), int(m.raw_len[i])
                 got = checksum_of(m.checksum_kind, out[o:o + ln])
                 if got != int(m.checksums[i]):
-                    self.stats.dequeue_err_blocks += 1
-                    raise StatusError(Status.IOError(
-                        f"checksum mismatch on block {i}: "
-                        f"{got:#x} != {int(m.checksums[i]):#x}"))
+                    status[i] = Status.IOError("").to_int()
+        bad = int((status < 0).sum())
+        if bad:
+            self.stats.dequeue_err_blocks += bad
+            # Silent-failure heuristic (reference GetErrorCount polling,
+            # device.cc:84-110): surface accumulated error counters even
+            # on the non-raising path.
+            logger.warning(
+                "decompress: %d/%d blocks failed (engine error count now "
+                "%d)", bad, m.nblocks, self.error_count())
         self.stats.bytes_decompressed += int(m.total_raw)
-        return out[:m.total_raw]
+        return out[:m.total_raw], status
+
+    def error_count(self) -> int:
+        """Accumulated per-block error counters (the reference's
+        ``rte_compressdev_stats_get`` enqueue/dequeue error sum consulted
+        by its silent-failure heuristic, ``device.cc:84-110``)."""
+        return self.stats.enqueue_err_blocks + self.stats.dequeue_err_blocks
 
     def decompress_device(self, unit: CompressedUnit) -> list:
         """Decompress entirely on device: returns per-burst uint8 device
@@ -532,19 +582,48 @@ class Engine:
         return launches
 
     def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
-                                ) -> None:
-        """Fast path: flat scheduled-fragment Pallas decode."""
+                                ) -> np.ndarray:
+        """Fast path: flat scheduled-fragment Pallas decode; unplanned
+        blocks (zstd / unplannable / malformed) decode per block on the
+        host while the kernel launches are in flight."""
         m = unit.manifest
+        status = np.zeros(m.nblocks, np.int32)
         futures = self._planned_bursts(unit)
         self.stats.tpu_decode_bursts += len(futures)
+        host_blocks = unit.plan_flat.get("host_blocks")
+        host_set = set(host_blocks.tolist()) if host_blocks is not None else set()
+        if host_set:
+            self._decompress_host_subset(unit, out, np.asarray(
+                sorted(host_set), np.int64), status)
         for chunk, fut in futures:
             host = np.asarray(fut)                         # [burst, nrows, 128] u8
             for j, i in enumerate(chunk):
+                if i in host_set:
+                    continue
                 o, ln = int(m.raw_off[i]), int(m.raw_len[i])
                 out[o:o + ln] = host[j].reshape(-1)[:ln]
             self.stats.dequeued_blocks += len(chunk)
+        return status
 
-    def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray) -> None:
+    def _decompress_host_subset(self, unit: CompressedUnit, out: np.ndarray,
+                                idx: np.ndarray, status: np.ndarray) -> None:
+        """Host-decode a subset of blocks into ``out``; per-block status."""
+        m = unit.manifest
+        slots = [unit.refs[int(i)].slot for i in idx]
+        rows = np.asarray(self.arena.gather_burst(slots))
+        slot = rows.shape[1]
+        dst_len, st = registry.host_decompress_batch(
+            self.config.codec, rows.reshape(-1),
+            np.arange(len(slots), dtype=np.int64) * slot,
+            m.comp_len[idx], out, m.raw_off[idx],
+            m.raw_len[idx].astype(np.int32), codec_ids=m.codec_ids[idx])
+        st = st.copy()
+        st[(st == 0) & (dst_len != m.raw_len[idx])] = Status.IOError("").to_int()
+        status[idx] = st
+        self.stats.host_decode_bursts += 1
+
+    def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray
+                        ) -> np.ndarray:
         m = unit.manifest
         # Join in order (jax dispatch already overlapped the bursts).
         for start, stop, fut in self._decode_bursts(unit):
@@ -553,26 +632,23 @@ class Engine:
                 o, ln = int(m.raw_off[i]), int(m.raw_len[i])
                 out[o:o + ln] = host[i - start, :ln]
             self.stats.dequeued_blocks += stop - start
+        return np.zeros(m.nblocks, np.int32)
 
-    def _decompress_host(self, unit: CompressedUnit, out: np.ndarray) -> None:
+    def _decompress_host(self, unit: CompressedUnit, out: np.ndarray
+                         ) -> np.ndarray:
         m = unit.manifest
         comp = unit.to_host()
         caps = m.raw_len.astype(np.int32)
         dst_len, status = registry.host_decompress_batch(
             self.config.codec, comp.packed, m.comp_off, m.comp_len,
             out, m.raw_off, caps, codec_ids=m.codec_ids)
-        bad = np.flatnonzero(status < 0)
-        if bad.size:
-            self.stats.dequeue_err_blocks += int(bad.size)
-            raise StatusError(Status.from_int(
-                int(status[bad[0]]),
-                f"decompress failed on blocks {bad.tolist()[:8]}"))
-        if not (dst_len == m.raw_len).all():
-            raise StatusError(Status.IOError(
-                "decompressed sizes disagree with manifest"))
+        status = status.copy()
+        status[(status == 0) & (dst_len != m.raw_len)] = \
+            Status.IOError("").to_int()
         self.stats.host_decode_bursts += 1
         self.stats.enqueued_blocks += m.nblocks
         self.stats.dequeued_blocks += m.nblocks
+        return status
 
     # ------------------------------------------------------------------
     def import_unit(self, cb: CompressedBuffers) -> CompressedUnit:

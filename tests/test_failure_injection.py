@@ -1,0 +1,128 @@
+"""Failure injection + per-block status surfacing.
+
+The reference walks every op's status at dequeue and reports the lot
+(``device.cc:512-520``) and polls device error counters for silent
+failures (``device.cc:84-110``).  These tests corrupt blocks mid-unit and
+check that (a) good neighbors still decode, (b) every bad block is named,
+(c) counters accumulate, and (d) mixed-codec units split per block
+instead of falling back wholesale.
+"""
+
+import numpy as np
+import pytest
+
+import bitar_tpu as bt
+from bitar_tpu.manifest import BlockManifest, CompressedBuffers, checksum_of, codec_id
+from bitar_tpu.status import StatusError
+
+BLOCK = 2048
+
+
+def cfg(**kw):
+    base = dict(codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=8,
+                max_pool_slots=64, use_tpu_kernels=False,
+                checksum=bt.Checksum.CRC32)
+    base.update(kw)
+    return bt.EngineConfig(**base)
+
+
+def make_unit_bytes(config, data):
+    with bt.Engine(config) as eng:
+        unit = eng.compress(data)
+        cb = unit.to_host()
+        eng.recycle(unit)
+    return cb
+
+
+def test_corrupt_block_mid_unit_reports_all_bad_blocks(rng):
+    data = bytes(rng.integers(97, 110, 8 * BLOCK, dtype=np.uint8))
+    c = cfg()
+    cb = make_unit_bytes(c, data)
+    # Corrupt blocks 2 and 5 in the packed payload.
+    for k in (2, 5):
+        off = int(cb.manifest.comp_off[k])
+        cb.packed[off + 3] ^= 0xA5
+    with bt.Engine(c) as eng:
+        unit = eng.import_unit(cb)
+        out, status = eng.decompress_status(unit)
+        bad = np.flatnonzero(status < 0)
+        assert set(bad.tolist()) == {2, 5}, status.tolist()
+        # good neighbors decoded bit-exactly
+        for i in range(8):
+            if i in (2, 5):
+                continue
+            o = int(cb.manifest.raw_off[i])
+            ln = int(cb.manifest.raw_len[i])
+            assert out[o:o + ln].tobytes() == data[o:o + ln], f"block {i}"
+        assert eng.error_count() >= 2
+        # the raising API names every failed block
+        with pytest.raises(StatusError) as ei:
+            eng.decompress(unit)
+        assert "2" in str(ei.value) and "5" in str(ei.value)
+        eng.recycle(unit)
+
+
+def test_corrupt_block_tpu_path(rng):
+    # Same injection through the planned/TPU (interpret) path: 16 KiB
+    # blocks so the flat-plan kernel is the active path and the corrupt
+    # block routes to the host per-block (no whole-unit fallback).
+    data = bytes(rng.integers(97, 110, 4 * 16384, dtype=np.uint8))
+    c = cfg(use_tpu_kernels=True, interpret=True, block_size=16384)
+    cb = make_unit_bytes(c, data)
+    off = int(cb.manifest.comp_off[1])
+    cb.packed[off + 2] ^= 0xFF
+    with bt.Engine(c) as eng:
+        unit = eng.import_unit(cb)
+        out, status = eng.decompress_status(unit)
+        assert status[1] < 0
+        assert (status[np.arange(4) != 1] == 0).all()
+        eng.recycle(unit)
+
+
+def test_mixed_codec_unit_splits_per_block(rng):
+    # LZ4 + zstd blocks in ONE unit: planned blocks ride the kernel,
+    # zstd blocks decode on the host — no whole-unit fallback.
+    pytest.importorskip("zstandard")
+    import zstandard
+
+    from bitar_tpu.ops.cpu import native
+
+    bs = 16384
+    blocks = [
+        (b"lz4 block %d " % i) * (bs // 12) for i in range(3)
+    ] + [b"zstd block content " * (bs // 18)]
+    blocks = [b[:bs] for b in blocks]
+    comp = [np.asarray(native.lz4_compress(b)) for b in blocks[:3]]
+    comp.append(np.frombuffer(
+        zstandard.ZstdCompressor(level=3).compress(blocks[3]), np.uint8))
+    ids = [codec_id(bt.Codec.LZ4)] * 3 + [codec_id(bt.Codec.ZSTD)]
+
+    m = BlockManifest.plan_sizes([len(b) for b in blocks], bs)
+    m.comp_len = np.array([len(c) for c in comp], np.int32)
+    m.codec_ids = np.array(ids, np.int32)
+    m.checksum_kind = bt.Checksum.CRC32
+    for i, b in enumerate(blocks):
+        m.checksums[i] = checksum_of(bt.Checksum.CRC32, b)
+    cb = CompressedBuffers(manifest=m, packed=np.concatenate(comp))
+
+    c = cfg(use_tpu_kernels=True, interpret=True, block_size=bs)
+    with bt.Engine(c) as eng:
+        unit = eng.import_unit(cb)
+        out = eng.decompress(unit)
+        assert out.tobytes() == b"".join(blocks)
+        assert unit.plan_flat is not None, "lz4 blocks should have planned"
+        hb = unit.plan_flat.get("host_blocks")
+        assert hb is not None and hb.tolist() == [3]
+        eng.recycle(unit)
+
+
+def test_status_api_zero_on_clean_unit(rng):
+    data = bytes(rng.integers(97, 122, 3 * BLOCK + 77, dtype=np.uint8))
+    c = cfg()
+    with bt.Engine(c) as eng:
+        unit = eng.compress(data)
+        out, status = eng.decompress_status(unit)
+        assert (status == 0).all()
+        assert out.tobytes() == data
+        assert eng.error_count() == 0
+        eng.recycle(unit)
