@@ -1,0 +1,239 @@
+"""Multi-process (multi-host) scaling benchmark for the fused
+shuffle+decode step.
+
+The reference's topology ceiling is one process with lcores sharing an
+address space (``driver.cc:100-158``); the TPU build's pod story is one
+process per host joined by ``jax.distributed``, a global mesh spanning
+every process's devices, and the block shuffle riding the mesh
+collectives.  This harness actually runs that shape: N processes on
+localhost, each owning ``--devices-per-process`` virtual CPU devices,
+driving ``distributed_step_planned`` over the global mesh and measuring
+blocks/s — the scaling-efficiency number of BASELINE config 5.
+
+Launch (spawns workers, waits, writes the artifact)::
+
+    python -m bitar_tpu.cli.multihost_bench --launch 2 --out MULTIHOST.json
+
+Worker mode (used internally)::
+
+    python -m bitar_tpu.cli.multihost_bench --processes 2 --process-id 0 \
+        --coordinator localhost:9911
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+BLOCK = 16 * 1024
+NROWS = BLOCK // 128
+
+
+def build_batch(nblocks: int):
+    """Deterministic mixed corpus + compressed blocks + dense plans.
+
+    Every process computes identical metadata (the shuffle plan and the
+    receive-order plan tables are global knowledge, like the reference's
+    single-process view of all queue pairs)."""
+    import numpy as np
+
+    from bitar_tpu.ops.cpu import native
+    from bitar_tpu.ops.pallas.lz4_decode_planned import pack_plan
+
+    rng = np.random.default_rng(7)
+    datas = []
+    for i in range(nblocks):
+        k = i % 3
+        if k == 0:
+            datas.append(((b"multihost block %d " % i) * (BLOCK // 17 + 1))[:BLOCK])
+        elif k == 1:
+            datas.append(rng.integers(0, 8, BLOCK, dtype=np.uint8).tobytes())
+        else:
+            datas.append(bytes([i & 0xFF]) * BLOCK)
+    comps = [np.asarray(native.lz4_compress(x)) for x in datas]
+    plans = [native.plan_block(c, BLOCK, NROWS, max_passes=96, codec="lz4")
+             for c in comps]
+    assert all(p[0] is not None for p in plans)
+    passes = max(4, -(-max(p[0] for p in plans) // 4) * 4)
+    comp_rows = -(-max(len(c) for c in comps) // 128)
+    comp_rows = -(-comp_rows // 32) * 32
+    se = np.zeros((nblocks, passes, NROWS), np.int32)
+    shift = np.zeros_like(se)
+    p_used = np.zeros(nblocks, np.int32)
+    for i, (Pn, p0, cols) in enumerate(plans):
+        se_i, sh_i = pack_plan(cols["r_dstart"][:Pn], cols["r_dend"][:Pn],
+                               cols["r_shift"][:Pn], p0, passes, comp_rows)
+        se[i], shift[i], p_used[i] = se_i, sh_i, Pn
+    return datas, comps, se, shift, p_used, passes, comp_rows
+
+
+def worker(args) -> int:
+    # Platform setup must precede any jax backend use; the env var alone
+    # is pinned by site configuration on the dev machine.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices_per_process)
+    if args.processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.processes,
+            process_id=args.process_id)
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitar_tpu.parallel import (
+        BLOCKS_AXIS,
+        distributed_step_planned,
+        make_mesh,
+        plan_shuffle,
+        reorder_plans_for_recv,
+    )
+
+    d = jax.device_count()
+    assert d == args.processes * args.devices_per_process, (
+        d, args.processes, args.devices_per_process)
+    mesh = make_mesh(d)
+    pc, pi = args.processes, args.process_id
+
+    nblocks = args.blocks
+    datas, comps, se, shift, p_used, passes, comp_rows = build_batch(nblocks)
+    slot = comp_rows * 128
+    sizes = np.array([len(c) for c in comps], np.int64)
+    splan = plan_shuffle(nblocks, d, sizes=sizes)
+    rows = np.zeros((nblocks, slot), np.uint8)
+    for i, c in enumerate(comps):
+        rows[i, :len(c)] = c
+    rse, rshift, rp = reorder_plans_for_recv(splan, se, shift, p_used)
+    per_src = nblocks // d
+    send_idx = (splan.send_order % max(1, per_src)).reshape(d, 1, -1).astype(np.int32)
+    valid = (splan.send_order >= 0).reshape(d, 1, -1)
+
+    sharding = NamedSharding(mesh, P(BLOCKS_AXIS))
+
+    def put(a):
+        """Globally-sharded array from this process's local rows."""
+        a = np.ascontiguousarray(a)
+        if pc == 1:
+            return jax.device_put(a, sharding)
+        return jax.make_array_from_process_local_data(
+            sharding, a[pi * (a.shape[0] // pc):(pi + 1) * (a.shape[0] // pc)])
+
+    dev_args = (put(rows), put(send_idx), put(valid), put(rp),
+                put(rse.reshape(-1, passes, NROWS // 128, 128)),
+                put(rshift.reshape(-1, passes, NROWS // 128, 128)))
+    kwargs = dict(mesh=mesh, rows_per_pair=splan.rows_per_pair, passes=passes,
+                  comp_rows=comp_rows, block_size=BLOCK, interpret=True)
+
+    out = distributed_step_planned(*dev_args, **kwargs)
+    jax.block_until_ready(out)
+
+    # Verify this process's local shards bit-exactly.
+    flat = splan.recv_block.reshape(-1)
+    checked = 0
+    for shard in out.addressable_shards:
+        lo = shard.index[0].start or 0
+        host = np.asarray(shard.data)
+        for j in range(host.shape[0]):
+            b = flat[lo + j]
+            if b >= 0:
+                assert host[j].tobytes() == datas[b], f"block {b}"
+                checked += 1
+    print(f"proc {pi}: verified {checked} received blocks bit-exact",
+          file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = distributed_step_planned(*dev_args, **kwargs)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    blocks_per_s = nblocks / best
+
+    result = dict(processes=pc, devices=d, blocks=nblocks,
+                  step_ms=round(best * 1e3, 2),
+                  blocks_per_s=round(blocks_per_s, 1),
+                  verified_blocks=checked)
+    print(json.dumps(result))
+    return 0
+
+
+def launch(args) -> int:
+    """Spawn the workers, then run the 1-process baseline and compute
+    scaling efficiency; writes the artifact."""
+    procs = []
+    port = args.port
+    for pid in range(args.launch):
+        cmd = [sys.executable, "-m", "bitar_tpu.cli.multihost_bench",
+               "--processes", str(args.launch), "--process-id", str(pid),
+               "--coordinator", f"localhost:{port}",
+               "--devices-per-process", str(args.devices_per_process),
+               "--blocks", str(args.blocks), "--reps", str(args.reps)]
+        env = dict(os.environ)
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))))
+    outs = []
+    for pid, p in enumerate(procs):
+        so, se_ = p.communicate(timeout=args.timeout)
+        if p.returncode != 0:
+            print(se_.decode()[-2000:], file=sys.stderr)
+            raise SystemExit(f"worker {pid} failed rc={p.returncode}")
+        outs.append(json.loads(so.decode().strip().splitlines()[-1]))
+
+    # 1-process baseline with the same per-process device count.
+    base_cmd = [sys.executable, "-m", "bitar_tpu.cli.multihost_bench",
+                "--processes", "1", "--process-id", "0",
+                "--devices-per-process", str(args.devices_per_process),
+                "--blocks", str(args.blocks), "--reps", str(args.reps)]
+    bp = subprocess.run(base_cmd, capture_output=True, timeout=args.timeout,
+                        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__)))))
+    if bp.returncode != 0:
+        print(bp.stderr.decode()[-2000:], file=sys.stderr)
+        raise SystemExit("baseline worker failed")
+    base = json.loads(bp.stdout.decode().strip().splitlines()[-1])
+
+    multi = outs[0]
+    efficiency = (multi["blocks_per_s"] / base["blocks_per_s"]) / args.launch
+    artifact = dict(
+        config="BASELINE config 5: multi-process fused shuffle+decode",
+        multi=multi, single=base,
+        scaling_efficiency=round(efficiency, 3),
+        note=("virtual CPU devices; interpret-mode kernels — the number "
+              "exercises the full jax.distributed + global-mesh + "
+              "cross-process collective path, not TPU silicon"))
+    blob = json.dumps(artifact, indent=1)
+    print(blob)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(blob + "\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bitar-tpu-multihost-bench")
+    p.add_argument("--launch", type=int, default=0,
+                   help="spawn N worker processes and report scaling")
+    p.add_argument("--processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", default="localhost:9911")
+    p.add_argument("--port", type=int, default=9911)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--blocks", type=int, default=32)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--timeout", type=int, default=600)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    if args.launch:
+        return launch(args)
+    return worker(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
