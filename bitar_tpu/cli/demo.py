@@ -244,20 +244,95 @@ def evaluate_async(engines: list[Engine], data: bytes, num_streams: int
 
 
 # ---------------------------------------------------------------------------
+# Skewed block-size benchmark (BASELINE config 4): per-block latency
+# distribution under a 4 KiB..block_size log-uniform size mix.
+
+
+def make_skewed_input(block_size: int, nblocks: int, min_size: int = 4096,
+                      seed: int = 11) -> tuple[bytes, list[int]]:
+    """Log-uniform skewed sizes + mixed-entropy payloads."""
+    rng = np.random.default_rng(seed)
+    lo, hi = np.log2(min(min_size, block_size)), np.log2(block_size)
+    sizes = np.minimum(
+        block_size,
+        np.exp2(rng.uniform(lo, hi, nblocks)).astype(np.int64)).tolist()
+    parts = []
+    for i, n in enumerate(sizes):
+        k = i % 3
+        if k == 0:
+            parts.append(((b"skewed %d " % i) * (n // 8 + 1))[:n])
+        elif k == 1:
+            parts.append(rng.integers(0, 32, n, dtype=np.uint8).tobytes())
+        else:
+            parts.append(bytes([i & 0xFF]) * n)
+    return b"".join(parts), [int(s) for s in sizes]
+
+
+def evaluate_skewed(engine: Engine, nblocks: int) -> dict:
+    """Compress a skewed unit, decode burst-by-burst, and report the
+    per-block latency distribution (latency := block's burst completion
+    relative to first submit — the reference async suite's
+    first-launch-to-callback window at block granularity,
+    ``demo_app.cc:548-693``)."""
+    data, sizes = make_skewed_input(engine.config.block_size, nblocks)
+    unit = engine.compress(data, sizes=sizes)
+    m = unit.manifest
+    print(f"skewed: {nblocks} blocks, sizes {min(sizes):,}..{max(sizes):,} B, "
+          f"ratio={m.ratio():.3f}")
+
+    # Warm-up + verify (also builds the decode sidecar).
+    out = engine.decompress(unit)
+    if out.tobytes() != data:
+        cleanup_and_exit(3, "VERIFY FAILED: skewed round-trip not bit-exact")
+
+    t0 = time.perf_counter()
+    bursts = engine.decompress_device(unit)
+    lat = np.zeros(m.nblocks)
+    burst = engine.config.burst_size
+    done = []
+    for k, fut in enumerate(bursts):
+        np.asarray(fut if not isinstance(fut, tuple) else fut[-1])
+        done.append(time.perf_counter() - t0)
+        lo = k * burst
+        lat[lo:min(lo + burst, m.nblocks)] = done[-1]
+    total = done[-1]
+    order = np.sort(lat * 1e3)
+    stats = {
+        "blocks": int(m.nblocks),
+        "bytes": len(data),
+        "total_ms": round(total * 1e3, 2),
+        "GBps": round(len(data) / total / 1e9, 3),
+        "lat_p50_ms": round(float(order[int(0.50 * (len(order) - 1))]), 2),
+        "lat_p99_ms": round(float(order[int(0.99 * (len(order) - 1))]), 2),
+        "lat_max_ms": round(float(order[-1]), 2),
+    }
+    print("skewed latency:", stats)
+    engine.recycle(unit)
+    return stats
+
+
+# ---------------------------------------------------------------------------
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bitar-tpu-demo",
         description="TPU block compression benchmark (bitar demo_app rebuild)")
-    p.add_argument("--file", required=True, help="input file (raw/parquet/feather)")
+    p.add_argument("--file", default=None,
+                   help="input file (raw/parquet/feather); optional for "
+                        "--mode skewed")
     p.add_argument("--bytes", type=int, default=None,
                    help="truncate or repeat input to this many bytes")
     p.add_argument("--mode",
-                   choices=["all", "sync", "async", "compress", "decompress"],
+                   choices=["all", "sync", "async", "skewed",
+                            "compress", "decompress"],
                    default="all",
-                   help="benchmark suites, or one-shot file "
+                   help="benchmark suites (skewed = per-block latency "
+                        "distribution over a 4KiB..block log-uniform size "
+                        "mix, BASELINE config 4), or one-shot file "
                         "compress/decompress (container format)")
+    p.add_argument("--blocks", type=int, default=256,
+                   help="block count for --mode skewed")
     p.add_argument("--output", default=None,
                    help="output path for compress/decompress modes")
     p.add_argument("--matcher", choices=["host", "tpu"], default="host",
@@ -314,7 +389,12 @@ def main(argv: list[str] | None = None) -> int:
         # alone can be pinned by site configuration.
         import jax
         jax.config.update("jax_platforms", args.platform)
-    if args.mode == "decompress":
+    if args.file is None and args.mode != "skewed":
+        cleanup_and_exit(2, "--file is required for this mode")
+    if args.mode == "skewed":
+        data = b""
+        nblocks = args.blocks
+    elif args.mode == "decompress":
         with open(args.file, "rb") as f:
             data = f.read()
         # The container records its own block size; the engine must match.
@@ -350,6 +430,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.file[:-5] if args.file.endswith(".btpu")
                 else args.file + ".out")
             run_decompress_file(engines[0], data, out_path)
+        elif args.mode == "skewed":
+            evaluate_skewed(engines[0], args.blocks)
         else:
             if args.mode in ("all", "sync"):
                 evaluate_sync(engines[0], data)

@@ -45,6 +45,7 @@ from ..config import (
 )
 from ..manifest import BlockManifest, CompressedBuffers, checksum_of, codec_id, codec_from_id
 from ..memory.arena import CompressedBlockRef, DeviceArena
+from ..memory.host_pool import PoolBackend, get_memory_pool
 from ..ops import registry
 from ..ops.cpu import native
 from ..ops.pallas import layout
@@ -112,6 +113,7 @@ class CompressedUnit:
     #: lazy decode-sidecar builders (ensure_plans/ensure_tables) never pay
     #: a device readback; dropped once plans exist.
     _staging: np.ndarray | None = field(default=None, repr=False)
+    _staging_buf: object | None = field(default=None, repr=False)
     #: True once ensure_plans ran (a planning *attempt* is one-shot even
     #: when it fails and the unit falls back to tables/host decode).
     _planned: bool = field(default=False, repr=False)
@@ -135,6 +137,12 @@ class CompressedUnit:
         packed = np.concatenate([
             rows[i, :int(self.manifest.comp_len[i])] for i in range(self.nblocks)])
         return CompressedBuffers(manifest=self.manifest, packed=packed)
+
+    def _drop_staging(self) -> None:
+        self._staging = None
+        if self._staging_buf is not None:
+            self._staging_buf.free()
+            self._staging_buf = None
 
     def _check_live(self) -> None:
         if self.recycled:
@@ -208,22 +216,39 @@ class Engine:
                 f"engine not started (state={self.state.value})"))
 
     # ------------------------------------------------------------------
-    def compress(self, data) -> CompressedUnit:
+    def compress(self, data, sizes=None) -> CompressedUnit:
         """Synchronous compress of one buffer into device-resident blocks.
 
         The analog of ``CompressDevice::Compress`` (``device.cc:157-238``):
         split into blocks, run codec bursts, land output in arena slots,
-        return the unit (caller recycles it when done)."""
+        return the unit (caller recycles it when done).
+
+        ``sizes``: optional explicit per-block split (a skewed
+        distribution, BASELINE config 4); every entry must be within
+        ``block_size`` (which sizes slots/planes) and sum to ``len(data)``.
+        Default: uniform ``block_size`` split with a ragged tail."""
         self._entry_guard()
         raw = np.frombuffer(data, dtype=np.uint8) if isinstance(
             data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(data, np.uint8)
         cfg = self.config
-        manifest = BlockManifest.plan(raw.shape[0], cfg.block_size)
+        if sizes is None:
+            manifest = BlockManifest.plan(raw.shape[0], cfg.block_size)
+        else:
+            manifest = BlockManifest.plan_sizes(sizes, cfg.block_size)
+            if manifest.total_raw != raw.shape[0]:
+                raise StatusError(Status.Invalid(
+                    f"sizes sum {manifest.total_raw} != data length "
+                    f"{raw.shape[0]}"))
         manifest.checksum_kind = cfg.checksum
         n = manifest.nblocks
         slot = cfg.slot_size
 
-        staging = np.zeros((n, slot), dtype=np.uint8)
+        # Staging comes from the pooled host allocator (the reference's
+        # Rtememzone ingest pool, memory_pool.cc:321-350): page-aligned
+        # buffers reused across bursts, no per-call zero fill (every
+        # consumer slices to per-block lengths).
+        staging_buf = get_memory_pool(PoolBackend.ALIGNED).allocate(n * slot)
+        staging = staging_buf.view().reshape(n, slot)
         dst_off = np.arange(n, dtype=np.int64) * slot
         caps = np.full(n, slot, dtype=np.int32)
         self.stats.enqueued_blocks += n
@@ -270,7 +295,7 @@ class Engine:
         # container, and the reference's compress likewise ends when
         # output sits in pool memory (device.cc:157-238).
         return CompressedUnit(manifest=manifest, refs=refs, engine=self,
-                              _staging=staging)
+                              _staging=staging, _staging_buf=staging_buf)
 
     # ------------------------------------------------------------------
     def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
@@ -666,7 +691,9 @@ class Engine:
                 f"block of {int(m.comp_len.max())}B exceeds slot "
                 f"{self.config.slot_size}B"))
         n = m.nblocks
-        staging = np.zeros((n, self.config.slot_size), dtype=np.uint8)
+        staging_buf = get_memory_pool(PoolBackend.ALIGNED).allocate(
+            n * self.config.slot_size)
+        staging = staging_buf.view().reshape(n, self.config.slot_size)
         for i in range(n):
             o, ln = int(m.comp_off[i]), int(m.comp_len[i])
             staging[i, :ln] = cb.packed[o:o + ln]
@@ -677,7 +704,7 @@ class Engine:
             self.arena.write_burst([r.slot for r in refs[start:stop]],
                                    jnp.asarray(staging[start:stop]))
         return CompressedUnit(manifest=m, refs=refs, engine=self,
-                              _staging=staging)
+                              _staging=staging, _staging_buf=staging_buf)
 
     def _staging_rows(self, unit: CompressedUnit) -> np.ndarray:
         """Host view of the unit's slot rows (cached copy or arena gather)."""
@@ -704,7 +731,7 @@ class Engine:
         elif unit.tables is None:
             unit.tables, unit.nseq = self._build_tables(unit.manifest, staging)
         unit._planned = True
-        unit._staging = None
+        unit._drop_staging()
 
     def ensure_tables(self, unit: CompressedUnit) -> None:
         """Build the unit's sequence-table sidecar on demand.
@@ -725,6 +752,7 @@ class Engine:
         self._entry_guard()
         unit._check_live()
         count = self.arena.recycle(unit.refs)
+        unit._drop_staging()
         unit.recycled = True
         return count
 

@@ -100,9 +100,13 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
     comp_sc[:, 0:LANES] = comp_i8
     comp_sc[:, LANES:] = jnp.roll(comp_i8, -1, axis=0)
 
-    lane_iota = lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
-    byte_iota = (lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0) * LANES
-                 + lane_iota)
+    # All per-pass work is M-tiled at MT rows so VMEM transients stay
+    # bounded regardless of block size (a [nrows, *] int32 working set
+    # blows the 16 MiB scoped budget past 1024 rows).
+    MT = min(nrows, 1024)
+    KC = 1024
+    lane_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 0)
 
     def fetch(chunk, slot):
         row = base + chunk * DCHUNK
@@ -125,19 +129,26 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
             shift_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
             sems.at[1, slot]).wait()
 
-    def one_pass(slot_idx, src_ref):
-        """Gather + merge inputs for one pass whose plan row sits at
-        ``slot_idx`` in the VMEM buffers, sourcing from ``src_ref``.
+    kiota = lax.broadcasted_iota(jnp.int32, (MT, KC), 1)
 
-        Returns (active, val_i8): the pass's write mask and biased bytes.
+    def one_pass_tile(slot_idx, src_ref, mt):
+        """Gather + merge inputs for output rows [mt, mt+MT) of one pass
+        whose plan row sits at ``slot_idx`` in the VMEM buffers, sourcing
+        from ``src_ref``.
+
+        Returns (active, val_i8): the tile's write mask + biased bytes.
         """
         krows = src_ref.shape[0]
-        se = _rowcast(se_buf[pl.ds(slot_idx, 1)][0].astype(jnp.int32))
-        shift = _rowcast(shift_buf[pl.ds(slot_idx, 1)][0])
+        t0 = mt // LANES
+        nt = MT // LANES
+        se = _rowcast(
+            se_buf[pl.ds(slot_idx, 1)][0][t0:t0 + nt].astype(jnp.int32))
+        shift = _rowcast(shift_buf[pl.ds(slot_idx, 1)][0][t0:t0 + nt])
         start = lax.shift_right_logical(se, 8)
         end = lax.bitwise_and(se, 0xFF)
         active = jnp.logical_and(lane_iota >= start, lane_iota < end)
 
+        byte_iota = (row_iota + mt) * LANES + lane_iota   # block-absolute
         q = byte_iota + shift
         qrow = lax.shift_right_logical(q, 7)
         qlane = lax.bitwise_and(q, LANES - 1)
@@ -147,10 +158,12 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
             jnp.maximum(start + byte_iota - lane_iota + shift, 0), 7)
         row_a = jnp.minimum(row_a_full[:, 0:1], krows - 1)
 
-        kiota = lax.broadcasted_iota(jnp.int32, (nrows, krows), 1)
-        oh = (kiota == row_a).astype(jnp.int8)
-        acc = jnp.dot(oh, src_ref[:, :], preferred_element_type=jnp.int32)
-
+        acc = jnp.zeros((MT, 2 * LANES), jnp.int32)
+        for ck in range(0, krows, KC):
+            kc = min(KC, krows - ck)
+            oh = (kiota[:, :kc] == (row_a - ck)).astype(jnp.int8)
+            acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, :],
+                                preferred_element_type=jnp.int32)
         v_a = jnp.take_along_axis(acc[:, :LANES], qlane, axis=1)
         v_b = jnp.take_along_axis(acc[:, LANES:], qlane, axis=1)
         val = jnp.where(qrow == row_a, v_a, v_b)              # biased int32
@@ -168,26 +181,30 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         wait_slot(slot)
 
     def comp_chunk(c, _):
-        """CB independent comp passes merged into one aligned store."""
+        """CB independent comp passes merged into one aligned store per
+        M-tile."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
-        cur = out_sc[:, 0:LANES]
-        for j in range(CB):
-            a_j, v_j = one_pass(slot * DCHUNK + j, comp_sc)
-            cur = jnp.where(a_j, v_j, cur)
-        out_sc[:, 0:LANES] = cur
+        for mt in range(0, nrows, MT):
+            cur = out_sc[mt:mt + MT, 0:LANES]
+            for j in range(CB):
+                a_j, v_j = one_pass_tile(slot * DCHUNK + j, comp_sc, mt)
+                cur = jnp.where(a_j, v_j, cur)
+            out_sc[mt:mt + MT, 0:LANES] = cur
         return 0
 
     def out_chunk(c, _):
-        """CB scheduled out passes; maintains the paired mirror."""
+        """CB scheduled out passes; maintains the paired mirror (the
+        full-plane roll handles tile boundaries: row mt+MT-1's mirror is
+        the next tile's first row)."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
         for j in range(CB):
-            a, v = one_pass(slot * DCHUNK + j, out_sc)
-            cur = out_sc[:, 0:LANES]
-            new = jnp.where(a, v, cur)
-            out_sc[:, 0:LANES] = new
-            out_sc[:, LANES:] = jnp.roll(new, -1, axis=0)
+            for mt in range(0, nrows, MT):
+                a, v = one_pass_tile(slot * DCHUNK + j, out_sc, mt)
+                cur = out_sc[mt:mt + MT, 0:LANES]
+                out_sc[mt:mt + MT, 0:LANES] = jnp.where(a, v, cur)
+            out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
         return 0
 
     nchunks = npass // DCHUNK
@@ -238,8 +255,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
         num_scalar_prefetch=3,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),     # se_flat (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),     # shift_flat (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # se_flat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # shift_flat stays in HBM
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -260,6 +277,11 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, out_rows, 128), jnp.uint8),
+        # The default 16 MiB scoped-VMEM budget undercounts large-block
+        # working sets; v5e carries 128 MiB of VMEM (config.py cites the
+        # public spec) — grant the kernel half.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(p_used, p_off, p0, se_flat, shift_flat, comp)
 
