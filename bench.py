@@ -162,4 +162,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Hard exit (the reference's rte_exit discipline, common.h:33-39):
+    # jax's atexit teardown can hang through the dev tunnel after the
+    # results are already printed.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -446,4 +446,11 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Hard exit after orderly engine release (the reference's rte_exit
+    # discipline, common.h:33-39): jax's atexit teardown can hang on
+    # remote-device platforms once results are printed.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+    os._exit(rc)

@@ -60,15 +60,16 @@ CB = 4                # passes per phase batch (and per DMA transfer)
 DCHUNK = CB           # plan rows per DMA transfer
 
 
-def _rowcast(tile):
-    """(t, 128) lane-major per-row values -> (t*128, 128) lane broadcast.
+def _colcast(vt, t0: int, nt: int):
+    """(128, tiles) sublane-major per-row values -> (nt*128, 128) lane
+    broadcast for tiles [t0, t0+nt).
 
-    Row i's value lives at tile[i >> 7, i & 127]; the result carries it on
-    every lane of row i (Mosaic cannot reshape lanes into sublanes)."""
-    t = tile.shape[0]
-    vt = tile.T                                   # (128, t), sublane-major
-    cols = [jnp.broadcast_to(vt[:, a:a + 1], (LANES, LANES)) for a in range(t)]
-    return jnp.concatenate(cols, axis=0) if t > 1 else cols[0]
+    Row t*128 + l's value lives at vt[l, t]; the result carries it on
+    every lane of row (t - t0)*128 + l.  Pure lane broadcasts — Mosaic
+    cannot reshape lanes into sublanes, and transposes are relayouts."""
+    cols = [jnp.broadcast_to(vt[:, t0 + a:t0 + a + 1], (LANES, LANES))
+            for a in range(nt)]
+    return jnp.concatenate(cols, axis=0) if nt > 1 else cols[0]
 
 
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
@@ -131,19 +132,19 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
 
     kiota = lax.broadcasted_iota(jnp.int32, (MT, KC), 1)
 
-    def one_pass_tile(slot_idx, src_ref, mt):
+    def one_pass_tile(tv, src_ref, mt):
         """Gather + merge inputs for output rows [mt, mt+MT) of one pass
-        whose plan row sits at ``slot_idx`` in the VMEM buffers, sourcing
-        from ``src_ref``.
+        whose pre-transposed plan values sit in ``tv`` (see
+        ``chunk_values``), sourcing from ``src_ref``.
 
         Returns (active, val_i8): the tile's write mask + biased bytes.
         """
         krows = src_ref.shape[0]
         t0 = mt // LANES
         nt = MT // LANES
-        se = _rowcast(
-            se_buf[pl.ds(slot_idx, 1)][0][t0:t0 + nt].astype(jnp.int32))
-        shift = _rowcast(shift_buf[pl.ds(slot_idx, 1)][0][t0:t0 + nt])
+        vt_se, vt_sh, j = tv
+        se = _colcast(vt_se, j * tiles + t0, nt)
+        shift = _colcast(vt_sh, j * tiles + t0, nt)
         start = lax.shift_right_logical(se, 8)
         end = lax.bitwise_and(se, 0xFF)
         active = jnp.logical_and(lane_iota >= start, lane_iota < end)
@@ -169,6 +170,19 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         val = jnp.where(qrow == row_a, v_a, v_b)              # biased int32
         return active, val.astype(jnp.int8)
 
+    tiles = nrows // LANES
+
+    def chunk_values(slot):
+        """Transpose the chunk's DCHUNK passes of plan rows ONCE:
+        [DCHUNK*tiles, 128] -> [128, DCHUNK*tiles] registers.  Per-pass
+        per-tile expansion is then a plain lane broadcast of one column
+        (the per-pass transposes were ~40% of pass cost in ablation)."""
+        tt = se_buf[pl.ds(slot * DCHUNK, DCHUNK)].astype(jnp.int32)
+        vt_se = tt.reshape(DCHUNK * tiles, LANES).T
+        tt2 = shift_buf[pl.ds(slot * DCHUNK, DCHUNK)]
+        vt_sh = tt2.reshape(DCHUNK * tiles, LANES).T
+        return vt_se, vt_sh
+
     def stage_plans(c, slot):
         """Plan staging: double-buffered lookahead (pipeline_depth 2) or
         fetch-and-wait in place (pipeline_depth 1)."""
@@ -185,10 +199,11 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         M-tile."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
+        vt_se, vt_sh = chunk_values(slot)
         for mt in range(0, nrows, MT):
             cur = out_sc[mt:mt + MT, 0:LANES]
             for j in range(CB):
-                a_j, v_j = one_pass_tile(slot * DCHUNK + j, comp_sc, mt)
+                a_j, v_j = one_pass_tile((vt_se, vt_sh, j), comp_sc, mt)
                 cur = jnp.where(a_j, v_j, cur)
             out_sc[mt:mt + MT, 0:LANES] = cur
         return 0
@@ -199,9 +214,10 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         the next tile's first row)."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
+        vt_se, vt_sh = chunk_values(slot)
         for j in range(CB):
             for mt in range(0, nrows, MT):
-                a, v = one_pass_tile(slot * DCHUNK + j, out_sc, mt)
+                a, v = one_pass_tile((vt_se, vt_sh, j), out_sc, mt)
                 cur = out_sc[mt:mt + MT, 0:LANES]
                 out_sc[mt:mt + MT, 0:LANES] = jnp.where(a, v, cur)
             out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
