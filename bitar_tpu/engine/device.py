@@ -63,6 +63,7 @@ logger = get_logger("engine.device")
 
 _TABLE_KEYS = ("lit_ptr", "lit_len", "off", "mlen", "out_pos")
 _RAW_ID = codec_id(Codec.RAW)
+_ZSTD_ID = codec_id(Codec.ZSTD)
 
 
 class EngineState(enum.Enum):
@@ -397,8 +398,6 @@ class Engine:
         nrows = cfg.block_size // 128
         if nrows % 128 != 0:          # planned kernel wants lane-tiled rows
             return None
-        comp_rows = max(128, -(-int(manifest.comp_len.max(initial=1)) // 128))
-        comp_rows = -(-comp_rows // 128) * 128
         n = manifest.nblocks
         slot = staging.shape[1]
 
@@ -407,23 +406,40 @@ class Engine:
         # burst-assembly fan-out, memory.cc:238-348, applied to plan
         # construction).  Unplannable or malformed blocks surface in the
         # per-block status — the host decode path re-validates and
-        # reports the real error.
-        se, shift, p_used, p0, status = native.plan_batch_flat(
+        # reports the real error.  Zstd blocks additionally get their
+        # literals entropy-decoded into per-block planes so their
+        # sequence execution rides the device kernel too.
+        has_zstd = bool((manifest.codec_ids == _ZSTD_ID).any())
+        lit_out = np.empty(n * cfg.block_size, np.uint8) if has_zstd else None
+        se, shift, p_used, p0, status, lit_used = native.plan_batch_flat(
             staging.reshape(-1),
             np.arange(n, dtype=np.int64) * slot,
             manifest.comp_len, manifest.raw_len, manifest.codec_ids,
-            nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB)
+            nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
+            lit_out=lit_out, lit_stride=cfg.block_size)
         ok = status == 0
         if not ok.any():
             return None               # nothing plannable: fallback paths
-        # Unplannable/zstd/malformed blocks keep p_used == 0 (the kernel
-        # skips them) and decode per block on the host path — no
-        # whole-unit fallback (reference decodes each op independently,
+        # Unplannable/malformed blocks keep p_used == 0 (the kernel skips
+        # them) and decode per block on the host path — no whole-unit
+        # fallback (reference decodes each op independently,
         # device.cc:512-520).
         p_used[~ok] = 0
         p0[~ok] = 0
         plans = flatten_batch_plans(se, shift, p_used, p0, nrows)
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
+        # Source-plane bytes per block: compressed stream, or the decoded
+        # literal plane for zstd (always <= block_size <= nrows*128).
+        plane_bytes = manifest.comp_len.astype(np.int64).copy()
+        if has_zstd:
+            zmask = ok & (lit_used > 0)
+            plane_bytes[zmask] = lit_used[zmask]
+            plans["lit_planes"] = {
+                int(i): lit_out[int(i) * cfg.block_size:
+                                int(i) * cfg.block_size + int(lit_used[i])].copy()
+                for i in np.flatnonzero(zmask)}
+        comp_rows = max(128, -(-int(plane_bytes.max(initial=1)) // 128))
+        comp_rows = -(-comp_rows // 128) * 128
         return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
@@ -581,6 +597,20 @@ class Engine:
         n = unit.nblocks
         plans = unit.plan_flat
         se_dev, shift_dev = unit.plan_device_arrays()
+        lit_planes = plans.get("lit_planes") or {}
+        lit_dev = None
+        lit_pos = {}
+        if lit_planes:
+            # Upload the zstd literal planes once per unit (biased int8),
+            # then scatter them over the gathered comp planes per burst:
+            # the kernel's source plane for those blocks is the decoded
+            # literal stream, not the compressed bytes.
+            stack = np.full((len(lit_planes), comp_rows * 128), -128, np.int8)
+            for k, (i, lit) in enumerate(sorted(lit_planes.items())):
+                stack[k, :lit.shape[0]] = (
+                    lit.astype(np.int16) - 128).astype(np.int8)
+                lit_pos[i] = k
+            lit_dev = jnp.asarray(stack.reshape(-1, comp_rows, 128))
         launches = []
         for start in range(0, n, burst):
             stop = min(n, start + burst)
@@ -596,6 +626,11 @@ class Engine:
             p0[:nb] = plans["p0"][start:stop]
             rows = self.arena.gather_burst(slots)          # [burst, slot] u8
             planes = bias_planes(rows, comp_rows)
+            js = [j for j, i in enumerate(chunk) if i in lit_pos]
+            if js:
+                ks = [lit_pos[chunk[j]] for j in js]
+                planes = planes.at[jnp.asarray(js)].set(
+                    lit_dev[jnp.asarray(ks)])
             result = decode_blocks_flat(
                 planes, jnp.asarray(p_used), jnp.asarray(p_off),
                 jnp.asarray(p0), se_dev, shift_dev,

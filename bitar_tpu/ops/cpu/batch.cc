@@ -33,9 +33,11 @@ int DispatchOne(int codec, bool compress, const uint8_t* src, int src_len,
     case BT_CODEC_RAW:
       return RawCopy(src, src_len, dst, dst_cap);
     case BT_CODEC_ZSTD:
-      // Zstd is handled by the Python layer (zstandard module); the native
-      // batch path reports NOT_IMPLEMENTED per block so callers can route.
-      return BT_ERR_NOT_IMPLEMENTED;
+      // Decompression is native (from-scratch RFC 8878 decoder, zstd.cc);
+      // compression routes to the Python layer's zstandard module (the
+      // registry handles it), reported NOT_IMPLEMENTED here.
+      return compress ? BT_ERR_NOT_IMPLEMENTED
+                      : bt_zstd_decompress(src, src_len, dst, dst_cap);
     default:
       return BT_ERR_INVALID;
   }

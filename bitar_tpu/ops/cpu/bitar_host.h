@@ -74,6 +74,23 @@ int bt_snappy_parse(const uint8_t* src, int src_len, int max_seq,
                     int32_t* lit_ptr, int32_t* lit_len, int32_t* off,
                     int32_t* mlen, int32_t* out_pos);
 
+/* ---- Zstandard (RFC 8878), from-scratch decoder (zstd.cc) ---------- */
+
+/* Decode a standard zstd frame; returns decompressed length or negative
+ * code.  Dictionaries unsupported; frame checksums skipped (the engine's
+ * manifest checksums cover content integrity). */
+int bt_zstd_decompress(const uint8_t* src, int src_len, uint8_t* dst,
+                       int dst_cap);
+
+/* Parse a zstd frame into the SoA sequence-table shape.  Literals are
+ * entropy-decoded into lit_buf (lit_ptr indexes THAT buffer, not src) —
+ * the sidecar that lets zstd sequence execution ride the TPU kernel.
+ * Returns nseq or negative code; *lit_used receives the literal count. */
+int bt_zstd_parse(const uint8_t* src, int src_len, int max_seq,
+                  uint8_t* lit_buf, int lit_cap, int32_t* lit_used,
+                  int32_t* lit_ptr, int32_t* lit_len, int32_t* off,
+                  int32_t* mlen, int32_t* out_pos);
+
 /* ---- Batched, multithreaded block APIs ----------------------------- *
  * The host analog of the reference's burst enqueue across worker lcores
  * (src/device.cc:465-535 + util.h:209-236): nblocks independent blocks,
@@ -121,7 +138,8 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    const int32_t* src_len, const int32_t* out_len, int nrows,
                    int max_passes, int split_limit, int cb, int16_t* se,
                    int32_t* shift, int32_t* p_used, int32_t* p0,
-                   int32_t* status);
+                   int32_t* status, uint8_t* lit_out, int64_t lit_stride,
+                   int32_t* lit_used);
 
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);

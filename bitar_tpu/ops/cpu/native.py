@@ -22,7 +22,7 @@ from ...status import Status, StatusError
 _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
-_SOURCES = ["lz4.cc", "snappy.cc", "batch.cc", "plan.cc"]
+_SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
 _ABI_VERSION = 1
 
 _lock = threading.Lock()
@@ -60,7 +60,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     for name in ("bt_lz4_compress", "bt_lz4_decompress",
-                 "bt_snappy_compress", "bt_snappy_decompress"):
+                 "bt_snappy_compress", "bt_snappy_decompress",
+                 "bt_zstd_decompress"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
@@ -81,7 +82,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
         u8p, i64p, i32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i16p, i32p, i32p, i32p, i32p]
+        i16p, i32p, i32p, i32p, i32p,
+        u8p, ctypes.c_int64, i32p]
     lib.bt_plan_rows.restype = ctypes.c_int
     lib.bt_plan_rows.argtypes = [ctypes.c_int] + [i32p] * 5 + \
         [ctypes.c_int] * 3 + [i32p] * 5
@@ -90,6 +92,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.bt_lz4_emit_sequences.restype = ctypes.c_int
     lib.bt_lz4_emit_sequences.argtypes = [u8p, ctypes.c_int, i32p, i32p, i32p,
                                           ctypes.c_int, u8p, ctypes.c_int]
+    lib.bt_zstd_parse.restype = ctypes.c_int
+    lib.bt_zstd_parse.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                  u8p, ctypes.c_int, i32p,
+                                  i32p, i32p, i32p, i32p, i32p]
     lib.bt_set_split_limit.restype = None
     lib.bt_set_split_limit.argtypes = [ctypes.c_int]
     lib.bt_abi_version.restype = ctypes.c_int
@@ -201,6 +207,40 @@ def snappy_decompress(data, dst_cap: int | None = None) -> np.ndarray:
     return dst[:rc]
 
 
+def zstd_decompress(data, dst_cap: int) -> np.ndarray:
+    """Native from-scratch zstd frame decode (ops/cpu/zstd.cc)."""
+    src = _as_u8(data)
+    dst = np.empty(max(1, dst_cap), dtype=np.uint8)
+    rc = _check(load().bt_zstd_decompress(_u8ptr(src), len(src), _u8ptr(dst),
+                                          dst_cap), "zstd_decompress")
+    return dst[:rc]
+
+
+def zstd_parse(data, max_seq: int | None = None, lit_cap: int | None = None):
+    """Parse a zstd frame into the SoA sequence table + decoded literals.
+
+    Returns (tables dict, literals uint8 array); lit_ptr indexes into the
+    LITERALS array (entropy-decoded on host), unlike lz4/snappy where it
+    indexes the compressed stream.
+    """
+    src = _as_u8(data)
+    if max_seq is None:
+        max_seq = max(16, len(src) * 2 + 16)
+    if lit_cap is None:
+        lit_cap = max(64, len(src) * 16 + 1024)
+    cols = {k: np.zeros(max_seq, dtype=np.int32)
+            for k in ("lit_ptr", "lit_len", "off", "mlen", "out_pos")}
+    lit_buf = np.empty(lit_cap, dtype=np.uint8)
+    lit_used = np.zeros(1, dtype=np.int32)
+    rc = _check(load().bt_zstd_parse(
+        _u8ptr(src), len(src), max_seq, _u8ptr(lit_buf), lit_cap,
+        _i32ptr(lit_used),
+        _i32ptr(cols["lit_ptr"]), _i32ptr(cols["lit_len"]),
+        _i32ptr(cols["off"]), _i32ptr(cols["mlen"]),
+        _i32ptr(cols["out_pos"])), "zstd_parse")
+    return {k: v[:rc] for k, v in cols.items()}, lit_buf[:int(lit_used[0])]
+
+
 def parse_sequences(data, codec: str = "lz4", max_seq: int | None = None):
     """Extract the SoA sequence table feeding the TPU decode kernels.
 
@@ -250,12 +290,16 @@ _CODEC_INT = {"lz4": 0, "snappy": 1, "zstd": 2, "raw": 3}
 def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
                     out_len: np.ndarray, codec_ids: np.ndarray, nrows: int,
                     max_passes: int, cb: int, split_limit: int = 8,
-                    nthreads: int = 0):
+                    nthreads: int = 0, lit_out: np.ndarray | None = None,
+                    lit_stride: int = 0):
     """Batched parse+plan+pack into the flat decode-kernel wire.
 
     Returns (se [n, max_passes, nrows] int16, shift int32, p_used [n],
-    p0 [n], status [n]); blocks with status != 0 have no plan (fall back).
-    The per-(pass,row) cell format matches ``lz4_decode_flat``.
+    p0 [n], status [n], lit_used [n]); blocks with status != 0 have no
+    plan (fall back).  ``lit_out`` (flat [n * lit_stride] uint8) receives
+    zstd blocks' entropy-decoded literal planes; lit_used[i] > 0 marks a
+    block whose plan sources the LITERAL plane instead of the compressed
+    bytes.  The per-(pass,row) cell format matches ``lz4_decode_flat``.
     """
     n = int(src_len.shape[0])
     if nthreads <= 0:
@@ -265,6 +309,7 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     p_used = np.zeros(n, np.int32)
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
+    lit_used = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     load().bt_plan_batch(
         0, _i32ptr(np.ascontiguousarray(codec_ids, np.int32)), nthreads, n,
@@ -273,8 +318,10 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
         _i32ptr(np.ascontiguousarray(out_len, np.int32)),
         nrows, max_passes, split_limit, cb,
         se.ctypes.data_as(i16p), _i32ptr(shift), _i32ptr(p_used),
-        _i32ptr(p0), _i32ptr(status))
-    return se, shift, p_used, p0, status
+        _i32ptr(p0), _i32ptr(status),
+        _u8ptr(lit_out) if lit_out is not None else None,
+        lit_stride, _i32ptr(lit_used))
+    return se, shift, p_used, p0, status, lit_used
 
 
 def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,

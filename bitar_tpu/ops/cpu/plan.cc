@@ -377,7 +377,8 @@ namespace {
 int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
                 int nrows, int max_passes, int split_limit, int cb,
                 int16_t* se, int32_t* shift, int32_t* p_used_out,
-                int32_t* p0_out) {
+                int32_t* p0_out, uint8_t* lit_out, int lit_cap,
+                int32_t* lit_used_out) {
   if (out_len < 0 || static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
     return BT_ERR_INVALID;
   }
@@ -396,13 +397,14 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
     *p0_out = total;
     return BT_OK;
   }
-  if (codec != BT_CODEC_LZ4 && codec != BT_CODEC_SNAPPY) {
+  if (codec != BT_CODEC_LZ4 && codec != BT_CODEC_SNAPPY &&
+      codec != BT_CODEC_ZSTD) {
     return BT_ERR_NOT_IMPLEMENTED;
   }
 
   // Parse into thread-local reusable sequence tables.
   static thread_local std::vector<int32_t> seq_buf;
-  const int max_seq = src_len + 2;
+  const int max_seq = std::max(src_len, out_len) + 2;
   if (static_cast<int>(seq_buf.size()) < max_seq * 5) {
     seq_buf.resize(static_cast<size_t>(max_seq) * 5);
   }
@@ -411,12 +413,22 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   int32_t* offv = lit_len + max_seq;
   int32_t* mlenv = offv + max_seq;
   int32_t* out_posv = mlenv + max_seq;
-  const int nseq =
-      codec == BT_CODEC_LZ4
-          ? bt_lz4_parse(src, src_len, max_seq, lit_ptr, lit_len, offv, mlenv,
-                         out_posv)
-          : bt_snappy_parse(src, src_len, max_seq, lit_ptr, lit_len, offv,
-                            mlenv, out_posv);
+  int nseq;
+  if (codec == BT_CODEC_ZSTD) {
+    // Entropy-decode literals to the caller's plane; the sequence table
+    // references THAT plane ("comp space" = decoded literals), so zstd
+    // sequence execution rides the same device kernel as LZ4/Snappy.
+    if (lit_out == nullptr) return BT_ERR_NOT_IMPLEMENTED;
+    nseq = bt_zstd_parse(src, src_len, max_seq, lit_out, lit_cap,
+                         lit_used_out, lit_ptr, lit_len, offv, mlenv,
+                         out_posv);
+  } else {
+    nseq = codec == BT_CODEC_LZ4
+               ? bt_lz4_parse(src, src_len, max_seq, lit_ptr, lit_len, offv,
+                              mlenv, out_posv)
+               : bt_snappy_parse(src, src_len, max_seq, lit_ptr, lit_len,
+                                 offv, mlenv, out_posv);
+  }
   if (nseq < 0) return nseq;
 
   // Leave pass head-room for the cb padding of both phases.
@@ -485,7 +497,8 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    const int32_t* src_len, const int32_t* out_len, int nrows,
                    int max_passes, int split_limit, int cb, int16_t* se,
                    int32_t* shift, int32_t* p_used, int32_t* p0,
-                   int32_t* status) {
+                   int32_t* status, uint8_t* lit_out, int64_t lit_stride,
+                   int32_t* lit_used) {
   if (nblocks <= 0) return;
   if (nthreads < 1) nthreads = 1;
   const unsigned hw = std::thread::hardware_concurrency();
@@ -499,13 +512,23 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
       if (i >= nblocks) return;
       const int c = codec_ids != nullptr ? codec_ids[i] : codec;
       const size_t base = static_cast<size_t>(i) * max_passes * nrows;
+      uint8_t* lit_i =
+          lit_out != nullptr ? lit_out + static_cast<int64_t>(i) * lit_stride
+                             : nullptr;
+      const int lit_cap_i = lit_out != nullptr ? static_cast<int>(lit_stride) : 0;
+      if (lit_used != nullptr) lit_used[i] = 0;
+      int32_t* lit_used_i = lit_used != nullptr ? lit_used + i : nullptr;
+      int32_t lit_scratch = 0;
+      if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
       int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                            max_passes, split_limit, cb, se + base,
-                           shift + base, p_used + i, p0 + i);
+                           shift + base, p_used + i, p0 + i, lit_i,
+                           lit_cap_i, lit_used_i);
       if (rc == BT_ERR_CAPACITY && split_limit != 2) {
         rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                          max_passes, /*split_limit=*/2, cb, se + base,
-                         shift + base, p_used + i, p0 + i);
+                         shift + base, p_used + i, p0 + i, lit_i,
+                         lit_cap_i, lit_used_i);
       }
       status[i] = rc;
       if (rc != BT_OK) {

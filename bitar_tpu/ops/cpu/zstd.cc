@@ -1,0 +1,837 @@
+// From-scratch Zstandard frame decoder (RFC 8878), C++17, no deps.
+//
+// Scope: single-segment decompression of standard zstd frames as produced
+// by any compliant encoder (raw/RLE/compressed blocks; Huffman literals
+// with FSE-compressed or direct weights, 1- and 4-stream; FSE sequence
+// coding with predefined/RLE/compressed/repeat table modes; repeat
+// offsets; multi-block frames with cross-block window references).
+// Dictionaries are not supported (the engine compresses each block as an
+// independent frame); frame checksums are skipped, content is instead
+// verified by the engine's per-block manifest checksums.
+//
+// The walk is factored like SnappyWalk (snappy.cc): one pass that can
+// (a) materialize output bytes and/or (b) record the LZ77 sequence table
+// in the engine's SoA shape with literal pointers into a caller-provided
+// DECODED-LITERALS buffer — the hook that lets zstd blocks ride the
+// plan-execute TPU kernel with literals sourced from a host-entropy-
+// decoded plane (sequence execution is codec-agnostic).
+//
+// Reference for capability parity: bitar executes its codec on a foreign
+// engine (DPU DEFLATE, src/device.cc:157-318); this library is the host
+// member of the TPU build's codec set.
+
+#include "bitar_host.h"
+
+#include <cstring>
+#include <cstdio>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// Backward bit reader: zstd entropy payloads are written forward but read
+// from the END; the final byte carries a 1-bit terminator at its highest
+// set bit position.
+struct BackBits {
+  const uint8_t* base = nullptr;
+  int64_t bitpos = 0;  // bits remaining below the cursor
+
+  // Returns false on malformed stream (empty or zero last byte).
+  bool Init(const uint8_t* p, int len) {
+    if (len <= 0) return false;
+    base = p;
+    const uint8_t last = p[len - 1];
+    if (last == 0) return false;
+    int top = 7;
+    while (!(last & (1 << top))) --top;
+    bitpos = static_cast<int64_t>(len - 1) * 8 + top;
+    return true;
+  }
+
+  // Read n bits (0..32) below the cursor, moving down.  Reads below bit 0
+  // return zero-padded values (the spec allows states to consume padding
+  // at stream end; overrun is detected by the caller via Exhausted()).
+  uint32_t Read(int n) {
+    if (n == 0) return 0;
+    bitpos -= n;
+    if (bitpos + n <= 0) return 0;        // fully below the stream: padding
+    const int64_t lo = bitpos < 0 ? 0 : bitpos;
+    // Gather bits [lo, bitpos + n) little-endian-from-bottom.
+    uint64_t acc = 0;
+    const int64_t byte0 = lo >> 3;
+    for (int k = 0; k < 8; ++k) {
+      const int64_t b = byte0 + k;
+      if (b * 8 >= bitpos + n) break;
+      acc |= static_cast<uint64_t>(base[b]) << (8 * k);
+    }
+    acc >>= (lo & 7);
+    uint32_t v = static_cast<uint32_t>(acc & ((n >= 32 ? ~0u : ((1u << n) - 1))));
+    if (bitpos < 0) v <<= 0;  // low zero-padding is implicit (acc shifted)
+    if (bitpos < 0) {
+      // Bits below zero read as 0: shift value up by the underrun amount.
+      v = static_cast<uint32_t>((acc & ((1ull << (n + bitpos)) - 1))
+                                << (-bitpos));
+    }
+    return v;
+  }
+
+  bool Exhausted() const { return bitpos < 0; }
+};
+
+// ---------------------------------------------------------------------
+// FSE decoding table.
+struct FseEntry {
+  uint8_t symbol;
+  uint8_t nbits;
+  uint16_t base;
+};
+
+struct FseTable {
+  int accuracy = 0;  // log2(size)
+  std::vector<FseEntry> t;
+
+  // Build from normalized counts (sum 2^accuracy; -1 = "less than one").
+  bool Build(const int16_t* counts, int nsym, int accuracy_log) {
+    if (accuracy_log < 0 || accuracy_log > 12) return false;
+    accuracy = accuracy_log;
+    const int size = 1 << accuracy_log;
+    t.assign(size, FseEntry{0, 0, 0});
+    std::vector<int> next(nsym);
+
+    int hi = size - 1;
+    for (int s = 0; s < nsym; ++s) {
+      if (counts[s] == -1) {
+        t[hi--].symbol = static_cast<uint8_t>(s);
+        next[s] = 1;
+      }
+    }
+    const int step = (size >> 1) + (size >> 3) + 3;
+    const int mask = size - 1;
+    int pos = 0;
+    for (int s = 0; s < nsym; ++s) {
+      for (int c = 0; c < counts[s]; ++c) {
+        t[pos].symbol = static_cast<uint8_t>(s);
+        do {
+          pos = (pos + step) & mask;
+        } while (pos > hi);
+      }
+      if (counts[s] > 0) next[s] = counts[s];
+    }
+    if (pos != 0) return false;
+    for (int i = 0; i < size; ++i) {
+      const int s = t[i].symbol;
+      const int n = next[s]++;
+      const int nb = accuracy_log - (31 - __builtin_clz(static_cast<unsigned>(n)));
+      t[i].nbits = static_cast<uint8_t>(nb);
+      t[i].base = static_cast<uint16_t>((n << nb) - size);
+    }
+    return true;
+  }
+};
+
+// Read an FSE table description (normalized counts) from a FORWARD
+// little-endian bitstream (upstream FSE_readNCount algorithm).  Returns
+// bytes consumed, or -1.
+int ReadFseDescription(const uint8_t* p, int len, int max_accuracy,
+                       int max_sym, FseTable* out) {
+  if (len < 1) return -1;
+  int bitpos = 0;
+  auto peek = [&](int n) -> uint32_t {
+    uint64_t acc = 0;
+    const int byte0 = bitpos >> 3;
+    for (int k = 0; k < 8 && byte0 + k < len; ++k) {
+      acc |= static_cast<uint64_t>(p[byte0 + k]) << (8 * k);
+    }
+    acc >>= (bitpos & 7);
+    return static_cast<uint32_t>(acc & ((n >= 32 ? ~0u : ((1u << n) - 1))));
+  };
+
+  const int accuracy = static_cast<int>(peek(4)) + 5;
+  bitpos += 4;
+  if (accuracy > max_accuracy) return -1;
+  const int size = 1 << accuracy;
+  int remaining = size + 1;
+  int threshold = size;
+  int nb_bits = accuracy + 1;
+  std::vector<int16_t> counts;
+  bool prev_zero = false;
+  while (remaining > 1 && static_cast<int>(counts.size()) <= max_sym) {
+    if (prev_zero) {
+      const uint32_t rep = peek(2);
+      bitpos += 2;
+      for (uint32_t r = 0; r < rep; ++r) counts.push_back(0);
+      if (rep == 3) continue;
+      prev_zero = false;
+      continue;
+    }
+    const int max = (2 * threshold - 1) - remaining;
+    const uint32_t bits = peek(nb_bits);
+    int count;
+    if (static_cast<int>(bits & (threshold - 1)) < max) {
+      count = static_cast<int>(bits & (threshold - 1));
+      bitpos += nb_bits - 1;
+    } else {
+      count = static_cast<int>(bits & (2 * threshold - 1));
+      if (count >= threshold) count -= max;
+      bitpos += nb_bits;
+    }
+    --count;                                   // -1 = "less than 1"
+    remaining -= count < 0 ? -count : count;
+    counts.push_back(static_cast<int16_t>(count));
+    if (count == 0) prev_zero = true;
+    while (remaining < threshold && remaining > 1) {
+      --nb_bits;
+      threshold >>= 1;
+    }
+    if ((bitpos + 7) / 8 > len) return -1;
+  }
+  if (remaining != 1 || static_cast<int>(counts.size()) > max_sym + 1) {
+    return -1;
+  }
+  while (static_cast<int>(counts.size()) <= max_sym) counts.push_back(0);
+  if (!out->Build(counts.data(), static_cast<int>(counts.size()), accuracy)) {
+    return -1;
+  }
+  return (bitpos + 7) / 8;
+}
+
+// ---------------------------------------------------------------------
+// Huffman decoding (single-level table).
+struct HufTable {
+  int max_bits = 0;
+  std::vector<uint8_t> sym;    // 2^max_bits entries
+  std::vector<uint8_t> len;
+
+  bool BuildFromWeights(const uint8_t* w, int nw) {
+    // weights: symbol s has weight w[s]; the LAST symbol's weight is
+    // implied.  nbBits = maxBits + 1 - weight (weight > 0).
+    uint64_t total = 0;
+    for (int s = 0; s < nw; ++s) {
+      if (w[s] > 11) return false;
+      if (w[s]) total += 1ull << (w[s] - 1);
+    }
+    if (total == 0) return false;
+    // max_bits = highest_set_bit(total) + 1; the leftover to the next
+    // power of two is the implied last symbol's weight share and must
+    // itself be a power of two.
+    const int max_w = (63 - __builtin_clzll(total)) + 1;
+    const uint64_t left = (1ull << max_w) - total;
+    if (left == 0 || (left & (left - 1))) return false;
+    const int last_w = (63 - __builtin_clzll(left)) + 1;
+    std::vector<uint8_t> weights(w, w + nw);
+    weights.push_back(static_cast<uint8_t>(last_w));
+    max_bits = max_w;
+    if (max_bits > 11 || max_bits < 1) return false;
+    const int size = 1 << max_bits;
+    sym.assign(size, 0);
+    len.assign(size, 0);
+    // canonical: ranked by weight ascending, codes assigned from 0 up.
+    int pos = 0;
+    for (int weight = 1; weight <= max_bits; ++weight) {
+      const int nbits = max_bits + 1 - weight;
+      const int span = 1 << (weight - 1);
+      for (int s = 0; s < static_cast<int>(weights.size()); ++s) {
+        if (weights[s] != weight) continue;
+        for (int k = 0; k < span; ++k) {
+          sym[pos] = static_cast<uint8_t>(s);
+          len[pos] = static_cast<uint8_t>(nbits);
+          ++pos;
+        }
+      }
+    }
+    return pos == size;
+  }
+};
+
+// Read a Huffman tree description.  Returns bytes consumed or -1.
+int ReadHufDescription(const uint8_t* p, int len, HufTable* out) {
+  if (len < 1) return -1;
+  const int hbyte = p[0];
+  std::vector<uint8_t> weights;
+  int used = 1;
+  if (hbyte < 128) {
+    // FSE-compressed weights: hbyte = compressed size.
+    if (1 + hbyte > len) return -1;
+    FseTable wt;
+    const int fse_used = ReadFseDescription(p + 1, hbyte, 6, 255, &wt);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "huf fse weights: hbyte=%d fse_used=%d acc=%d\n",
+            hbyte, fse_used, wt.accuracy);
+#endif
+    if (fse_used < 0 || fse_used > hbyte) return -1;
+    BackBits bb;
+    if (!bb.Init(p + 1 + fse_used, hbyte - fse_used)) return -1;
+    uint32_t s0 = bb.Read(wt.accuracy);
+    uint32_t s1 = bb.Read(wt.accuracy);
+    // Canonical interleaved 2-state FSE decompression: emit + update each
+    // state in turn; when an update runs past the stream start, flush the
+    // OTHER state's final symbol and stop.
+    for (;;) {
+      weights.push_back(wt.t[s0].symbol);
+      s0 = wt.t[s0].base + bb.Read(wt.t[s0].nbits);
+      if (bb.bitpos < 0) {
+        weights.push_back(wt.t[s1].symbol);
+        break;
+      }
+      weights.push_back(wt.t[s1].symbol);
+      s1 = wt.t[s1].base + bb.Read(wt.t[s1].nbits);
+      if (bb.bitpos < 0) {
+        weights.push_back(wt.t[s0].symbol);
+        break;
+      }
+      if (weights.size() > 255) return -1;
+    }
+    used += hbyte;
+  } else {
+    // Direct 4-bit weights for hbyte-127 symbols.
+    const int nw = hbyte - 127;
+    const int nbytes = (nw + 1) / 2;
+    if (1 + nbytes > len) return -1;
+    for (int i = 0; i < nw; ++i) {
+      const uint8_t b = p[1 + i / 2];
+      weights.push_back(i % 2 == 0 ? (b >> 4) : (b & 0xF));
+    }
+    used += nbytes;
+  }
+  if (weights.size() > 255) return -1;
+  const bool built = out->BuildFromWeights(
+      weights.data(), static_cast<int>(weights.size()));
+#ifdef DEBUG_ZSTD
+  fprintf(stderr, "huf build: nweights=%zu built=%d\n", weights.size(), built);
+#endif
+  if (!built) return -1;
+  return used;
+}
+
+// Decode one Huffman bitstream into dst (exactly want bytes).
+bool HufDecodeStream(const HufTable& h, const uint8_t* p, int len,
+                     uint8_t* dst, int want) {
+  BackBits bb;
+  if (!bb.Init(p, len)) return false;
+  for (int i = 0; i < want; ++i) {
+    // Peek max_bits (zero-padded at stream end per spec).
+    const int64_t save = bb.bitpos;
+    uint32_t idx = bb.Read(h.max_bits);
+    const int nb = h.len[idx];
+    dst[i] = h.sym[idx];
+    bb.bitpos = save - nb;
+    if (bb.bitpos < -h.max_bits) return false;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Sequence code tables (RFC 8878 §3.1.1.3.2.1).
+constexpr uint32_t kLLBase[36] = {
+    0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536};
+constexpr uint8_t kLLBits[36] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+                                 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+constexpr uint32_t kMLBase[53] = {
+    3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37, 39, 41,
+    43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195,
+    16387, 32771, 65539};
+constexpr uint8_t kMLBits[53] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4,
+                                 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+
+constexpr int16_t kLLDefault[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+                                    2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+                                    2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+constexpr int16_t kMLDefault[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1};
+constexpr int16_t kOFDefault[29] = {1, 1, 1, 1, 1, 1, 2,  2,  2,  1,
+                                    1, 1, 1, 1, 1, 1, 1,  1,  1,  1,
+                                    1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+struct FrameState {
+  HufTable huf;        // persists for treeless literal blocks
+  bool huf_valid = false;
+  FseTable ll, of, ml;
+  bool ll_valid = false, of_valid = false, ml_valid = false;
+  uint32_t rep[3] = {1, 4, 8};
+};
+
+// Recorder for the SoA sequence table (optional).
+struct SeqRecorder {
+  int32_t* lit_ptr = nullptr;
+  int32_t* lit_len = nullptr;
+  int32_t* off = nullptr;
+  int32_t* mlen = nullptr;
+  int32_t* out_pos = nullptr;
+  uint8_t* lit_buf = nullptr;   // decoded literals land here
+  int lit_cap = 0;
+  int lit_used = 0;
+  int max_seq = 0;
+  int nseq = 0;
+
+  bool active() const { return lit_ptr != nullptr; }
+  bool Push(int32_t lp, int32_t ll_, int32_t of_, int32_t ml_, int32_t op) {
+    if (nseq >= max_seq) return false;
+    lit_ptr[nseq] = lp;
+    lit_len[nseq] = ll_;
+    off[nseq] = of_;
+    mlen[nseq] = ml_;
+    out_pos[nseq] = op;
+    ++nseq;
+    return true;
+  }
+};
+
+// Decode literals section.  Returns bytes consumed, fills lit/lit_len
+// (pointing into scratch when decoded, or into src for raw).  -1 on error.
+int DecodeLiterals(const uint8_t* p, int len, FrameState* fs,
+                   std::vector<uint8_t>* scratch, const uint8_t** lit,
+                   int* lit_len) {
+  if (len < 1) return -1;
+  const int type = p[0] & 3;
+  const int size_fmt = (p[0] >> 2) & 3;
+  if (type == 0 || type == 1) {               // Raw / RLE
+    int rsize, hdr;
+    if (size_fmt == 0 || size_fmt == 2) {
+      rsize = p[0] >> 3;
+      hdr = 1;
+    } else if (size_fmt == 1) {
+      if (len < 2) return -1;
+      rsize = (p[0] >> 4) | (p[1] << 4);
+      hdr = 2;
+    } else {
+      if (len < 3) return -1;
+      rsize = (p[0] >> 4) | (p[1] << 4) | (p[2] << 12);
+      hdr = 3;
+    }
+    if (rsize < 0 || rsize > (1 << 20)) return -1;
+    if (type == 0) {
+      if (hdr + rsize > len) return -1;
+      *lit = p + hdr;
+      *lit_len = rsize;
+      return hdr + rsize;
+    }
+    if (hdr + 1 > len) return -1;
+    scratch->assign(rsize, p[hdr]);
+    *lit = scratch->data();
+    *lit_len = rsize;
+    return hdr + 1;
+  }
+  // Compressed (2) / Treeless (3)
+  int rsize, csize, hdr, streams;
+  if (size_fmt == 0 || size_fmt == 1) {
+    if (len < 3) return -1;
+    streams = size_fmt == 0 ? 1 : 4;
+    rsize = (p[0] >> 4) | ((p[1] & 0x3F) << 4);
+    csize = (p[1] >> 6) | (p[2] << 2);
+    hdr = 3;
+  } else if (size_fmt == 2) {
+    if (len < 4) return -1;
+    streams = 4;
+    rsize = (p[0] >> 4) | (p[1] << 4) | ((p[2] & 3) << 12);
+    csize = (p[2] >> 2) | (p[3] << 6);
+    hdr = 4;
+  } else {
+    if (len < 5) return -1;
+    streams = 4;
+    rsize = (p[0] >> 4) | (p[1] << 4) | ((p[2] & 0x3F) << 12);
+    csize = (p[2] >> 6) | (p[3] << 2) | (p[4] << 10);
+    hdr = 5;
+  }
+  if (csize <= 0 || hdr + csize > len || rsize < 0 || rsize > (1 << 20)) {
+    return -1;
+  }
+  const uint8_t* body = p + hdr;
+  int body_len = csize;
+#ifdef DEBUG_ZSTD
+  fprintf(stderr, "lit: type=%d fmt=%d rsize=%d csize=%d streams=%d\n",
+          type, size_fmt, rsize, csize, streams);
+#endif
+  if (type == 2) {
+    const int tused = ReadHufDescription(body, body_len, &fs->huf);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "huf desc used=%d max_bits=%d\n", tused,
+            fs->huf.max_bits);
+#endif
+    if (tused < 0) return -1;
+    fs->huf_valid = true;
+    body += tused;
+    body_len -= tused;
+  } else if (!fs->huf_valid) {
+    return -1;
+  }
+  scratch->assign(static_cast<size_t>(rsize), 0);
+  if (streams == 1) {
+    if (!HufDecodeStream(fs->huf, body, body_len, scratch->data(), rsize)) {
+#ifdef DEBUG_ZSTD
+      fprintf(stderr, "huf 1-stream decode failed\n");
+#endif
+      return -1;
+    }
+  } else {
+    if (body_len < 6) return -1;
+    const int s1 = body[0] | (body[1] << 8);
+    const int s2 = body[2] | (body[3] << 8);
+    const int s3 = body[4] | (body[5] << 8);
+    const int s4 = body_len - 6 - s1 - s2 - s3;
+    if (s1 <= 0 || s2 <= 0 || s3 <= 0 || s4 <= 0) return -1;
+    const int r123 = (rsize + 3) / 4;
+    const int r4 = rsize - 3 * r123;
+    if (r4 < 0) return -1;
+    const uint8_t* sp = body + 6;
+    if (!HufDecodeStream(fs->huf, sp, s1, scratch->data(), r123)) return -1;
+    if (!HufDecodeStream(fs->huf, sp + s1, s2, scratch->data() + r123, r123))
+      return -1;
+    if (!HufDecodeStream(fs->huf, sp + s1 + s2, s3,
+                         scratch->data() + 2 * r123, r123))
+      return -1;
+    if (!HufDecodeStream(fs->huf, sp + s1 + s2 + s3, s4,
+                         scratch->data() + 3 * r123, r4))
+      return -1;
+  }
+  *lit = scratch->data();
+  *lit_len = rsize;
+  return hdr + csize;
+}
+
+// Build a sequence-code table per the 2-bit mode.
+int SetupTable(const uint8_t** pp, int* plen, int mode, const int16_t* def,
+               int ndef, int def_acc, int max_acc, int max_sym,
+               FseTable* table, bool* valid) {
+  const uint8_t* p = *pp;
+  int len = *plen;
+  switch (mode) {
+    case 0:  // predefined
+      if (!table->Build(def, ndef, def_acc)) return -1;
+      *valid = true;
+      return 0;
+    case 1: {  // RLE: single symbol, 1 byte
+      if (len < 1) return -1;
+      const int s = p[0];
+      if (s > max_sym) return -1;
+      std::vector<int16_t> counts(max_sym + 1, 0);
+      counts[s] = 1;
+      if (!table->Build(counts.data(), max_sym + 1, 0)) return -1;
+      *valid = true;
+      *pp = p + 1;
+      *plen = len - 1;
+      return 0;
+    }
+    case 2: {  // FSE-compressed description
+      const int used = ReadFseDescription(p, len, max_acc, max_sym, table);
+      if (used < 0) return -1;
+      *valid = true;
+      *pp = p + used;
+      *plen = len - used;
+      return 0;
+    }
+    case 3:  // repeat
+      return *valid ? 0 : -1;
+  }
+  return -1;
+}
+
+// Decode + execute the sequences section of one block.
+// dst window: [dst, dst+cap), current position *dpos.
+int DecodeSequences(const uint8_t* p, int len, FrameState* fs,
+                    const uint8_t* lit, int lit_len, uint8_t* dst,
+                    int dst_cap, int* dpos, SeqRecorder* rec) {
+  if (len < 1) return -1;
+  int nseq;
+  int hdr;
+  if (p[0] < 128) {
+    nseq = p[0];
+    hdr = 1;
+  } else if (p[0] < 255) {
+    if (len < 2) return -1;
+    nseq = ((p[0] - 128) << 8) + p[1];
+    hdr = 2;
+  } else {
+    if (len < 3) return -1;
+    nseq = p[1] + (p[2] << 8) + 0x7F00;
+    hdr = 3;
+  }
+  const uint8_t* q = p + hdr;
+  int qlen = len - hdr;
+  int lpos = 0;
+  int d = *dpos;
+
+  if (nseq > 0) {
+    if (qlen < 1) return -1;
+    const int modes = q[0];
+    ++q;
+    --qlen;
+    int rcT;
+    rcT = SetupTable(&q, &qlen, (modes >> 6) & 3, kLLDefault, 36, 6, 9, 35,
+                     &fs->ll, &fs->ll_valid);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "LL setup mode=%d rc=%d\n", (modes >> 6) & 3, rcT);
+#endif
+    if (rcT < 0) return -1;
+    rcT = SetupTable(&q, &qlen, (modes >> 4) & 3, kOFDefault, 29, 5, 8, 31,
+                     &fs->of, &fs->of_valid);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "OF setup mode=%d rc=%d\n", (modes >> 4) & 3, rcT);
+#endif
+    if (rcT < 0) return -1;
+    rcT = SetupTable(&q, &qlen, (modes >> 2) & 3, kMLDefault, 53, 6, 9, 52,
+                     &fs->ml, &fs->ml_valid);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "ML setup mode=%d rc=%d\n", (modes >> 2) & 3, rcT);
+#endif
+    if (rcT < 0) return -1;
+
+    BackBits bb;
+    if (!bb.Init(q, qlen)) return -1;
+    uint32_t sll = bb.Read(fs->ll.accuracy);
+    uint32_t sof = bb.Read(fs->of.accuracy);
+    uint32_t sml = bb.Read(fs->ml.accuracy);
+#ifdef DEBUG_ZSTD
+    fprintf(stderr, "nseq=%d states ll=%u of=%u ml=%u bits_left=%lld\n",
+            nseq, sll, sof, sml, (long long)bb.bitpos);
+#endif
+
+    for (int i = 0; i < nseq; ++i) {
+      const int of_code = fs->of.t[sof].symbol;
+      const int ml_code = fs->ml.t[sml].symbol;
+      const int ll_code = fs->ll.t[sll].symbol;
+#ifdef DEBUG_ZSTD
+      fprintf(stderr, "seq %d: codes of=%d ml=%d ll=%d\n", i, of_code, ml_code, ll_code);
+#endif
+      if (of_code > 31 || ml_code > 52 || ll_code > 35) return -1;
+      // Offset_Value = (1 << of_code) + readBits(of_code); code 0 -> 1.
+      const uint32_t of_value = (1u << of_code) + bb.Read(of_code);
+      const uint32_t ml = kMLBase[ml_code] + bb.Read(kMLBits[ml_code]);
+      const uint32_t ll = kLLBase[ll_code] + bb.Read(kLLBits[ll_code]);
+#ifdef DEBUG_ZSTD
+      fprintf(stderr, "  of_value=%u ml=%u ll=%u bits_left=%lld\n", of_value, ml, ll, (long long)bb.bitpos);
+#endif
+
+      uint32_t offset;
+      if (of_value > 3) {
+        offset = of_value - 3;
+        fs->rep[2] = fs->rep[1];
+        fs->rep[1] = fs->rep[0];
+        fs->rep[0] = offset;
+      } else {
+        // Repeat offsets: index shifts by one when literal length is 0.
+        const uint32_t idx = of_value - 1 + (ll == 0 ? 1 : 0);
+        if (idx == 0) {
+          offset = fs->rep[0];
+        } else if (idx == 1) {
+          offset = fs->rep[1];
+          fs->rep[1] = fs->rep[0];
+          fs->rep[0] = offset;
+        } else if (idx == 2) {
+          offset = fs->rep[2];
+          fs->rep[2] = fs->rep[1];
+          fs->rep[1] = fs->rep[0];
+          fs->rep[0] = offset;
+        } else {  // idx == 3: rep[0] - 1
+          if (fs->rep[0] <= 1) return -1;
+          offset = fs->rep[0] - 1;
+          fs->rep[2] = fs->rep[1];
+          fs->rep[1] = fs->rep[0];
+          fs->rep[0] = offset;
+        }
+      }
+
+      // literals copy
+      if (ll > static_cast<uint32_t>(lit_len - lpos)) return -1;
+      if (d + static_cast<int>(ll + ml) > dst_cap) return -1;
+      if (rec && rec->active()) {
+        if (rec->lit_used + static_cast<int>(ll) > rec->lit_cap) return -1;
+        std::memcpy(rec->lit_buf + rec->lit_used, lit + lpos, ll);
+        if (!rec->Push(rec->lit_used, ll, static_cast<int32_t>(offset),
+                       static_cast<int32_t>(ml), d)) return -1;
+        rec->lit_used += static_cast<int>(ll);
+      }
+      if (dst != nullptr) {
+        std::memcpy(dst + d, lit + lpos, ll);
+      }
+      lpos += static_cast<int>(ll);
+      d += static_cast<int>(ll);
+      // match copy
+      if (ml > 0) {
+        if (offset > static_cast<uint32_t>(d)) return -1;
+        if (dst != nullptr) {
+          for (uint32_t k = 0; k < ml; ++k) dst[d + k] = dst[d - offset + k];
+        }
+        d += static_cast<int>(ml);
+      }
+
+      if (i + 1 < nseq) {
+        const FseEntry& ell = fs->ll.t[sll];
+        sll = ell.base + bb.Read(ell.nbits);
+        const FseEntry& eml = fs->ml.t[sml];
+        sml = eml.base + bb.Read(eml.nbits);
+        const FseEntry& eof = fs->of.t[sof];
+        sof = eof.base + bb.Read(eof.nbits);
+      }
+    }
+    if (bb.bitpos != 0) return -1;   // stream must end exactly
+  }
+
+  // trailing literals
+  const int rest = lit_len - lpos;
+  if (rest > 0) {
+    if (d + rest > dst_cap) return -1;
+    if (rec && rec->active()) {
+      if (rec->lit_used + rest > rec->lit_cap) return -1;
+      std::memcpy(rec->lit_buf + rec->lit_used, lit + lpos, rest);
+      if (!rec->Push(rec->lit_used, rest, 0, 0, d)) return -1;
+      rec->lit_used += rest;
+    }
+    if (dst != nullptr) std::memcpy(dst + d, lit + lpos, rest);
+    d += rest;
+  }
+  *dpos = d;
+  return 0;
+}
+
+// Full frame walk.  dst may be null when only recording.
+int ZstdWalk(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap,
+             SeqRecorder* rec) {
+  if (src == nullptr || src_len < 4) return BT_ERR_INVALID;
+  int s = 0;
+  // Skippable frames
+  while (s + 8 <= src_len) {
+    uint32_t magic;
+    std::memcpy(&magic, src + s, 4);
+    if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {
+      uint32_t sz;
+      std::memcpy(&sz, src + s + 4, 4);
+      s += 8 + static_cast<int>(sz);
+      continue;
+    }
+    break;
+  }
+  if (s + 4 > src_len) return BT_ERR_IO;
+  uint32_t magic;
+  std::memcpy(&magic, src + s, 4);
+  if (magic != 0xFD2FB528u) return BT_ERR_IO;
+  s += 4;
+  if (s >= src_len) return BT_ERR_IO;
+  const uint8_t fhd = src[s++];
+  const int fcs_flag = fhd >> 6;
+  const bool single_seg = fhd & 0x20;
+  const bool checksum = fhd & 0x04;
+  const int did_size = (fhd & 3) == 0 ? 0 : (1 << ((fhd & 3) - 1));
+  if (!single_seg) ++s;                       // window descriptor
+  s += did_size;                              // dictionary id (ignored)
+  int fcs_size = fcs_flag == 0 ? (single_seg ? 1 : 0)
+                               : (fcs_flag == 1 ? 2 : (fcs_flag == 2 ? 4 : 8));
+  uint64_t content_size = ~0ull;
+  if (fcs_size) {
+    if (s + fcs_size > src_len) return BT_ERR_IO;
+    content_size = 0;
+    for (int k = 0; k < fcs_size; ++k) {
+      content_size |= static_cast<uint64_t>(src[s + k]) << (8 * k);
+    }
+    if (fcs_size == 2) content_size += 256;
+    s += fcs_size;
+  }
+
+  FrameState fs;
+  std::vector<uint8_t> lit_scratch;
+  int d = 0;
+  for (;;) {
+    if (s + 3 > src_len) return BT_ERR_IO;
+    const uint32_t bh = src[s] | (src[s + 1] << 8) | (src[s + 2] << 16);
+    s += 3;
+    const bool last = bh & 1;
+    const int btype = (bh >> 1) & 3;
+    const int bsize = static_cast<int>(bh >> 3);
+    if (btype == 0) {                          // raw block
+      if (s + bsize > src_len || d + bsize > dst_cap) return BT_ERR_IO;
+      if (rec && rec->active()) {
+        if (rec->lit_used + bsize > rec->lit_cap) return BT_ERR_CAPACITY;
+        std::memcpy(rec->lit_buf + rec->lit_used, src + s, bsize);
+        if (!rec->Push(rec->lit_used, bsize, 0, 0, d)) return BT_ERR_CAPACITY;
+        rec->lit_used += bsize;
+      }
+      if (dst != nullptr) std::memcpy(dst + d, src + s, bsize);
+      d += bsize;
+      s += bsize;
+    } else if (btype == 1) {                   // RLE block
+      if (s + 1 > src_len || d + bsize > dst_cap) return BT_ERR_IO;
+      if (rec && rec->active()) {
+        // one literal byte + an overlapping match reproduces the run
+        if (rec->lit_used + 1 > rec->lit_cap) return BT_ERR_CAPACITY;
+        rec->lit_buf[rec->lit_used] = src[s];
+        if (bsize == 1) {
+          if (!rec->Push(rec->lit_used, 1, 0, 0, d)) return BT_ERR_CAPACITY;
+        } else {
+          if (!rec->Push(rec->lit_used, 1, 1, bsize - 1, d))
+            return BT_ERR_CAPACITY;
+        }
+        rec->lit_used += 1;
+      }
+      if (dst != nullptr) std::memset(dst + d, src[s], bsize);
+      d += bsize;
+      s += 1;
+    } else if (btype == 2) {                   // compressed block
+      if (s + bsize > src_len) return BT_ERR_IO;
+      const uint8_t* lit = nullptr;
+      int lit_len = 0;
+      const int lused = DecodeLiterals(src + s, bsize, &fs, &lit_scratch,
+                                       &lit, &lit_len);
+#ifdef DEBUG_ZSTD
+      fprintf(stderr, "block: bsize=%d lused=%d lit_len=%d\n", bsize, lused, lit_len);
+#endif
+      if (lused < 0) return BT_ERR_IO;
+      if (DecodeSequences(src + s + lused, bsize - lused, &fs, lit, lit_len,
+                          dst, dst_cap, &d, rec) < 0) {
+        return BT_ERR_IO;
+      }
+      s += bsize;
+    } else {
+      return BT_ERR_IO;
+    }
+    if (last) break;
+  }
+  if (checksum) s += 4;                        // not validated (engine
+                                               // checksums cover content)
+  if (content_size != ~0ull && content_size != static_cast<uint64_t>(d)) {
+    return BT_ERR_IO;
+  }
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+int bt_zstd_decompress(const uint8_t* src, int src_len, uint8_t* dst,
+                       int dst_cap) {
+  if (dst == nullptr || dst_cap < 0) return BT_ERR_INVALID;
+  return ZstdWalk(src, src_len, dst, dst_cap, nullptr);
+}
+
+// Parse a zstd frame into the engine's SoA sequence-table shape.  Unlike
+// lz4/snappy, zstd literals are entropy-coded: the decoded literal stream
+// is written to lit_buf (lit_cap bytes) and lit_ptr indexes into IT, not
+// into src.  Returns nseq (>= 0; *lit_used receives the literal byte
+// count), or a negative status.
+int bt_zstd_parse(const uint8_t* src, int src_len, int max_seq,
+                  uint8_t* lit_buf, int lit_cap, int32_t* lit_used,
+                  int32_t* lit_ptr, int32_t* lit_len, int32_t* off,
+                  int32_t* mlen, int32_t* out_pos) {
+  SeqRecorder rec;
+  rec.lit_ptr = lit_ptr;
+  rec.lit_len = lit_len;
+  rec.off = off;
+  rec.mlen = mlen;
+  rec.out_pos = out_pos;
+  rec.lit_buf = lit_buf;
+  rec.lit_cap = lit_cap;
+  rec.max_seq = max_seq;
+  const int rc = ZstdWalk(src, src_len, nullptr, 1 << 30, &rec);
+  if (rc < 0) return rc;
+  *lit_used = rec.lit_used;
+  return rec.nseq;
+}
+
+}  // extern "C"

@@ -6,10 +6,11 @@ DEFLATE via ``rte_compressdev_info`` and the device validates against it
 entry points and whether the TPU decode kernel can execute it (i.e. it
 parses to the SoA sequence-table shape).
 
-Zstd host path uses the environment's ``zstandard`` module (the native
-batch library reports NOT_IMPLEMENTED for zstd and the registry routes
-around it); a TPU zstd path requires FSE/Huffman decode stages and is
-planned as a later kernel generation.
+Zstd decompression is native (from-scratch RFC 8878 decoder in
+``ops/cpu/zstd.cc``, fuzz-validated against the zstandard module) and its
+sequence execution rides the TPU plan-execute kernel with literals from a
+host-entropy-decoded plane; zstd COMPRESSION rides the environment's
+``zstandard`` module over a thread pool.
 """
 
 from __future__ import annotations
@@ -43,8 +44,10 @@ _REGISTRY: dict[Codec, CodecImpl] = {
                          parse_name="lz4"),
     Codec.SNAPPY: CodecImpl(Codec.SNAPPY, native_batch=True, tpu_decode=True,
                             parse_name="snappy"),
-    Codec.ZSTD: CodecImpl(Codec.ZSTD, native_batch=False, tpu_decode=False,
-                          parse_name=None),
+    # Decompression is native (from-scratch zstd.cc) and TPU-plannable via
+    # the decoded-literals plane; compression rides the zstandard module.
+    Codec.ZSTD: CodecImpl(Codec.ZSTD, native_batch=False, tpu_decode=True,
+                          parse_name="zstd"),
     Codec.RAW: CodecImpl(Codec.RAW, native_batch=True, tpu_decode=False,
                          parse_name=None),
 }
@@ -105,11 +108,10 @@ def host_decompress_batch(codec: Codec, src: np.ndarray, src_off: np.ndarray,
                           ) -> tuple[np.ndarray, np.ndarray]:
     if codec_ids is None:
         codec_ids = np.full(src_len.shape[0], _codec_int(codec), dtype=np.int32)
+    # All codecs decompress natively (zstd included: ops/cpu/zstd.cc).
     dst_len, status = native.batch_run(
         False, "lz4", src, src_off, src_len, dst, dst_off, dst_cap,
         nthreads=nthreads, codec_ids=codec_ids)
-    _run_zstd(False, 0, codec_ids, src, src_off, src_len,
-              dst, dst_off, dst_cap, dst_len, status)
     return dst_len, status
 
 

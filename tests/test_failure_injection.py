@@ -80,8 +80,8 @@ def test_corrupt_block_tpu_path(rng):
 
 
 def test_mixed_codec_unit_splits_per_block(rng):
-    # LZ4 + zstd blocks in ONE unit: planned blocks ride the kernel,
-    # zstd blocks decode on the host — no whole-unit fallback.
+    # LZ4 + zstd blocks in ONE unit: every block rides the device kernel
+    # (zstd via its entropy-decoded literal plane) — no host fallback.
     pytest.importorskip("zstandard")
     import zstandard
 
@@ -110,9 +110,11 @@ def test_mixed_codec_unit_splits_per_block(rng):
         unit = eng.import_unit(cb)
         out = eng.decompress(unit)
         assert out.tobytes() == b"".join(blocks)
-        assert unit.plan_flat is not None, "lz4 blocks should have planned"
+        assert unit.plan_flat is not None, "all blocks should have planned"
         hb = unit.plan_flat.get("host_blocks")
-        assert hb is not None and hb.tolist() == [3]
+        assert hb is not None and hb.tolist() == []
+        # the zstd block decodes on device from its literal plane
+        assert 3 in (unit.plan_flat.get("lit_planes") or {})
         eng.recycle(unit)
 
 
