@@ -1,6 +1,7 @@
 """Multi-chip / multi-host parallel execution layer."""
 
 from . import multihost
+from .ring import distributed_step_ring
 from .pipeline import (
     distributed_step,
     distributed_step_planned,
@@ -24,6 +25,7 @@ __all__ = [
     "ShufflePlan",
     "distributed_step",
     "distributed_step_planned",
+    "distributed_step_ring",
     "execute_shuffle",
     "reorder_plans_for_recv",
     "hash_partition",

@@ -34,11 +34,21 @@ BLOCKS_AXIS = "blocks"
 _TABLE_KEYS = ("lit_ptr", "lit_len", "off", "mlen", "out_pos")
 
 
-def make_mesh(num_devices: int | None = None, axis: str = BLOCKS_AXIS) -> Mesh:
-    """A 1D mesh over the first ``num_devices`` devices (default all).
+def make_mesh(num_devices: int | None = None, axis: str | None = None,
+              config=None) -> Mesh:
+    """A mesh over the first ``num_devices`` devices (default all).
 
-    The discovery analog of the reference's lcore enumeration
-    (``driver.cc:215-218``)."""
+    ``config`` (a ``bitar_tpu.config.ShardingConfig``) supplies the axis
+    name and an optional multi-dim ``mesh_shape`` whose product selects
+    the device count; explicit arguments win.  The discovery analog of
+    the reference's lcore enumeration (``driver.cc:215-218``)."""
+    if config is not None:
+        if axis is None:
+            axis = config.data_axis
+        if num_devices is None and config.mesh_shape:
+            num_devices = int(np.prod(config.mesh_shape))
+    if axis is None:
+        axis = BLOCKS_AXIS
     devs = jax.devices()
     if num_devices is not None:
         if num_devices > len(devs):

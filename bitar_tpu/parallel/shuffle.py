@@ -58,7 +58,7 @@ class ShufflePlan:
 
 def plan_shuffle(nblocks: int, num_devices: int,
                  sizes: np.ndarray | None = None,
-                 balance: bool = True) -> ShufflePlan:
+                 balance: bool = True, config=None) -> ShufflePlan:
     """Build the skew-balanced exchange plan.
 
     Blocks are assumed currently sharded contiguously: block ``i`` lives on
@@ -67,7 +67,19 @@ def plan_shuffle(nblocks: int, num_devices: int,
     uniform quota.  ``sizes`` (compressed lengths) orders the balancing so
     the largest blocks move first to the emptiest destinations (greedy LPT),
     keeping per-destination *byte* skew bounded too.
+
+    ``config`` (a ``bitar_tpu.config.ShardingConfig``): its
+    ``skew_bucket_log`` coarsens the LPT ordering — sizes are bucketed by
+    ``log2(size) >> skew_bucket_log`` before the sort, so plans stay
+    stable under small size jitter between otherwise-identical batches
+    (deterministic re-planning across hosts).
     """
+    if config is not None and sizes is not None and config.skew_bucket_log > 0:
+        lg = np.zeros_like(sizes)
+        nz = sizes > 0
+        lg[nz] = np.ceil(np.log2(sizes[nz].astype(np.float64))).astype(
+            sizes.dtype)
+        sizes = (lg >> config.skew_bucket_log).astype(sizes.dtype)
     if nblocks % num_devices:
         raise StatusError(Status.Invalid(
             f"nblocks {nblocks} must be padded to a multiple of {num_devices}"))

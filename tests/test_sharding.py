@@ -140,3 +140,20 @@ def test_shuffle_then_decode_pipeline(rng):
                 out_map[int(b)] = got.tobytes()
     for i, dat in enumerate(datas):
         assert out_map[i] == dat, f"block {i}"
+
+
+def test_sharding_config_wires_mesh_and_shuffle():
+    from bitar_tpu.config import ShardingConfig
+    from bitar_tpu.parallel import make_mesh, plan_shuffle
+    import numpy as np
+
+    cfg = ShardingConfig(data_axis="blocks", mesh_shape=(4,), skew_bucket_log=2)
+    mesh = make_mesh(config=cfg)
+    assert mesh.devices.size == 4
+    assert mesh.axis_names == ("blocks",)
+    sizes = np.array([100, 5000, 120, 4800, 90, 5100, 110, 4900], np.int64)
+    p1 = plan_shuffle(8, 4, sizes=sizes, config=cfg)
+    # jittered sizes in the same log-buckets produce the identical plan
+    p2 = plan_shuffle(8, 4, sizes=sizes + 7, config=cfg)
+    assert (p1.send_order == p2.send_order).all()
+    assert (p1.dest == p2.dest).all()
