@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+_PLANS_VMEM_BYTES = 12 * 1024 * 1024   # plans at most this big go VMEM-resident
 CB = 4                # passes per phase batch (and per DMA transfer)
 DCHUNK = CB           # plan rows per DMA transfer
 
@@ -73,8 +74,13 @@ def _colcast(vt, t0: int, nt: int):
 
 
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
-                 out_ref, comp_sc, out_sc, se_buf, shift_buf, sems, *,
-                 comp_rows: int, out_rows: int, prefetch: bool):
+                 out_ref, comp_sc, out_sc, *rest,
+                 comp_rows: int, out_rows: int, prefetch: bool,
+                 plans_vmem: bool):
+    if plans_vmem:
+        se_buf = shift_buf = sems = None
+    else:
+        se_buf, shift_buf, sems = rest
     """One grid step decodes one block.  See module docstring.
 
     Refs:
@@ -119,6 +125,13 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
             shift_ref.at[pl.ds(row, DCHUNK)],
             shift_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
             sems.at[1, slot]).start()
+
+    if plans_vmem:
+        def fetch(chunk, slot):  # noqa: F811  (whole plan resident in VMEM)
+            del chunk, slot
+
+        def wait_slot(slot):     # noqa: F811
+            del slot
 
     def wait_slot(slot):
         pltpu.make_async_copy(
@@ -172,20 +185,29 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
 
     tiles = nrows // LANES
 
-    def chunk_values(slot):
+    def chunk_values(c, slot):
         """Transpose the chunk's DCHUNK passes of plan rows ONCE:
         [DCHUNK*tiles, 128] -> [128, DCHUNK*tiles] registers.  Per-pass
         per-tile expansion is then a plain lane broadcast of one column
-        (the per-pass transposes were ~40% of pass cost in ablation)."""
-        tt = se_buf[pl.ds(slot * DCHUNK, DCHUNK)].astype(jnp.int32)
+        (the per-pass transposes were ~40% of pass cost in ablation).
+        With VMEM-resident plans the rows load straight from the input
+        block; with HBM plans they come from the DMA double buffer."""
+        if plans_vmem:
+            tt = se_ref[pl.ds(base + c * DCHUNK, DCHUNK)].astype(jnp.int32)
+            tt2 = shift_ref[pl.ds(base + c * DCHUNK, DCHUNK)]
+        else:
+            tt = se_buf[pl.ds(slot * DCHUNK, DCHUNK)].astype(jnp.int32)
+            tt2 = shift_buf[pl.ds(slot * DCHUNK, DCHUNK)]
         vt_se = tt.reshape(DCHUNK * tiles, LANES).T
-        tt2 = shift_buf[pl.ds(slot * DCHUNK, DCHUNK)]
         vt_sh = tt2.reshape(DCHUNK * tiles, LANES).T
         return vt_se, vt_sh
 
     def stage_plans(c, slot):
         """Plan staging: double-buffered lookahead (pipeline_depth 2) or
-        fetch-and-wait in place (pipeline_depth 1)."""
+        fetch-and-wait in place (pipeline_depth 1); no-op with
+        VMEM-resident plans."""
+        if plans_vmem:
+            return
         if prefetch:
             @pl.when(c + 1 < nchunks)
             def _():
@@ -199,7 +221,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         M-tile."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
-        vt_se, vt_sh = chunk_values(slot)
+        vt_se, vt_sh = chunk_values(c, slot)
         for mt in range(0, nrows, MT):
             cur = out_sc[mt:mt + MT, 0:LANES]
             for j in range(CB):
@@ -214,7 +236,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         the next tile's first row)."""
         slot = lax.rem(c, 2)
         stage_plans(c, slot)
-        vt_se, vt_sh = chunk_values(slot)
+        vt_se, vt_sh = chunk_values(c, slot)
         for j in range(CB):
             for mt in range(0, nrows, MT):
                 a, v = one_pass_tile((vt_se, vt_sh, j), out_sc, mt)
@@ -225,7 +247,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
 
     nchunks = npass // DCHUNK
     ncomp_chunks = ncomp // DCHUNK
-    if prefetch:
+    if prefetch and not plans_vmem:
         fetch(0, 0)
     lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
     # Comp batches skip mirror upkeep; sync once before the out phase.
@@ -267,12 +289,32 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
     assert se_flat.dtype == jnp.int16 and shift_flat.dtype == jnp.int32
     assert comp.dtype == jnp.int8
     tiles = nrows // LANES
+    # Small plan batches live wholly in VMEM (loaded once — the index map
+    # is constant, so Pallas does not re-fetch per grid step) and skip the
+    # DMA double-buffer machinery entirely; large batches stream from HBM.
+    plans_vmem = (se_flat.nbytes + shift_flat.nbytes) <= _PLANS_VMEM_BYTES
+    if plans_vmem:
+        plan_specs = [
+            pl.BlockSpec(se_flat.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(shift_flat.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        extra_scratch = []
+    else:
+        plan_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),   # se_flat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # shift_flat stays in HBM
+        ]
+        extra_scratch = [
+            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int16),
+            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # se_flat stays in HBM
-            pl.BlockSpec(memory_space=pltpu.HBM),   # shift_flat stays in HBM
+        in_specs=plan_specs + [
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -281,14 +323,11 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
         scratch_shapes=[
             pltpu.VMEM((comp_rows, 2 * LANES), jnp.int8),
             pltpu.VMEM((out_rows, 2 * LANES), jnp.int8),
-            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int16),
-            pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ] + extra_scratch,
     )
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
-        prefetch=pipeline_depth == 2)
+        prefetch=pipeline_depth == 2, plans_vmem=plans_vmem)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
