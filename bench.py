@@ -147,6 +147,40 @@ def main() -> int:
 
     eng.recycle(unit)
     eng.release()
+
+    # --- secondary: zstd through the same device decode path (sequence
+    # execution on the kernel, literals from the host-entropy-decoded
+    # plane; ops/cpu/zstd.cc).  Same plane shape as the LZ4 phase, so the
+    # kernel compile is shared.
+    zstd_dec = zstd_comp = None
+    try:
+        zcfg = cfg.replace(codec=bt.Codec.ZSTD, level=3)
+        zeng = bt.Engine(zcfg).initialize()
+        t0 = time.perf_counter()
+        zunit = zeng.compress(data)
+        zstd_comp = len(data) / (time.perf_counter() - t0) / 1e9
+        zeng.ensure_plans(zunit)
+        zplans = zunit.plan_flat
+        if zplans is not None and zunit.plan_comp_rows == comp_rows:
+            zout = zeng.decompress(zunit)
+            assert zout.tobytes() == data, "zstd round-trip not bit-exact"
+            launches = zeng._planned_bursts(zunit)
+            np.asarray(launches[-1][1][0, 0, :1])      # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    launches = zeng._planned_bursts(zunit)
+                np.asarray(launches[-1][1][0, 0, :1])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            zstd_dec = len(data) / best / 1e9
+            print(f"bench: zstd decompress {best*1e3:.2f} ms/launch "
+                  f"({zstd_dec:.3f} GB/s, device path)", file=sys.stderr)
+        zeng.recycle(zunit)
+        zeng.release()
+    except Exception as e:                             # secondary metric only
+        print(f"bench: zstd phase skipped: {e}", file=sys.stderr)
+
     dec_gbps = len(data) / dec_best / 1e9
     comp_gbps = len(data) / comp_best / 1e9
     combined = len(data) / (dec_best + comp_best) / 1e9
@@ -157,6 +191,8 @@ def main() -> int:
         "vs_baseline": round(dec_gbps / NORTH_STAR_GBPS, 4),
         "compress_GBps": round(comp_gbps, 4),
         "combined_GBps": round(combined, 4),
+        "zstd_decompress_GBps": round(zstd_dec, 4) if zstd_dec else None,
+        "zstd_compress_GBps": round(zstd_comp, 4) if zstd_comp else None,
     }))
     return 0
 
