@@ -62,10 +62,8 @@ def make_corpus(nblocks: int) -> bytes:
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
 
     import bitar_tpu as bt
-    from bitar_tpu.ops.pallas.lz4_decode_flat import bias_planes, decode_blocks_flat
     from bitar_tpu.utils.profiling import annotate
 
     backend = jax.default_backend()
@@ -111,20 +109,8 @@ def main() -> int:
     # --- decompress phase: REPS chained whole-batch kernel launches on
     # device-committed inputs, one tiny readback sync (launches pipeline;
     # see module docstring).
-    nrows = BLOCK // 128
     comp_rows = unit.plan_comp_rows
-    plans = unit.plan_flat
-    rows_dev = eng.arena.gather_burst([r.slot for r in unit.refs])
-    planes = bias_planes(rows_dev, comp_rows)
-    p_used = jnp.asarray(plans["p_used"])
-    p_off = jnp.asarray(plans["p_off"])
-    p0 = jnp.asarray(plans["p0"])
-    se_dev, shift_dev = unit.plan_device_arrays()
-
-    def launch():
-        return decode_blocks_flat(
-            planes, p_used, p_off, p0, se_dev, shift_dev,
-            comp_rows=comp_rows, out_rows=nrows, interpret=not on_tpu)
+    launch = eng.prepare_device_decode(unit)
 
     o = launch()
     np.asarray(o[0, 0, :1])                      # warm-up / compile
@@ -160,18 +146,18 @@ def main() -> int:
         zunit = zeng.compress(data)
         zstd_comp = len(data) / (time.perf_counter() - t0) / 1e9
         zeng.ensure_plans(zunit)
-        zplans = zunit.plan_flat
-        if zplans is not None and zunit.plan_comp_rows == comp_rows:
+        if zunit.plan_flat is not None and zunit.plan_comp_rows == comp_rows:
             zout = zeng.decompress(zunit)
             assert zout.tobytes() == data, "zstd round-trip not bit-exact"
-            launches = zeng._planned_bursts(zunit)
-            np.asarray(launches[-1][1][0, 0, :1])      # warm
+            zlaunch = zeng.prepare_device_decode(zunit)
+            np.asarray(zlaunch()[0, 0, :1])            # warm
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
+                last = None
                 for _ in range(REPS):
-                    launches = zeng._planned_bursts(zunit)
-                np.asarray(launches[-1][1][0, 0, :1])
+                    last = zlaunch()
+                np.asarray(last[0, 0, :1])
                 best = min(best, (time.perf_counter() - t0) / REPS)
             zstd_dec = len(data) / best / 1e9
             print(f"bench: zstd decompress {best*1e3:.2f} ms/launch "

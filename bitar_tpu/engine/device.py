@@ -641,6 +641,54 @@ class Engine:
             self.stats.enqueued_blocks += nb
         return launches
 
+    def prepare_device_decode(self, unit: CompressedUnit):
+        """Stage a planned unit for repeated device-resident decode.
+
+        Returns a zero-argument ``launch`` callable: each call dispatches
+        ONE whole-unit decode on device-committed inputs (planes, plans
+        and literal overrides staged once here) and returns the
+        [nblocks, nrows, 128] uint8 device array, with no host transfers
+        on the hot path.  This is the production shape for pipelines that
+        re-decode resident units (and the bench's timed phase);
+        ``decompress_device`` remains the burst-wise one-shot form.
+        Requires the whole unit to fit one launch (nblocks <= burst) and
+        a fully-planned unit."""
+        self._entry_guard()
+        unit._check_live()
+        self.ensure_plans(unit)
+        plans = unit.plan_flat
+        if plans is None or plans["host_blocks"].size:
+            raise StatusError(Status.NotImplemented(
+                "prepare_device_decode requires a fully-planned unit"))
+        cfg = self.config
+        nrows = cfg.block_size // 128
+        comp_rows = unit.plan_comp_rows
+        rows = self.arena.gather_burst([r.slot for r in unit.refs])
+        planes = bias_planes(rows, comp_rows)
+        lit_planes = plans.get("lit_planes") or {}
+        if lit_planes:
+            stack = np.full((len(lit_planes), comp_rows * 128), -128, np.int8)
+            idxs = []
+            for k, (i, lit) in enumerate(sorted(lit_planes.items())):
+                stack[k, :lit.shape[0]] = (
+                    lit.astype(np.int16) - 128).astype(np.int8)
+                idxs.append(i)
+            planes = planes.at[jnp.asarray(idxs)].set(
+                jnp.asarray(stack.reshape(-1, comp_rows, 128)))
+        p_used = jnp.asarray(plans["p_used"])
+        p_off = jnp.asarray(plans["p_off"])
+        p0 = jnp.asarray(plans["p0"])
+        se_dev, shift_dev = unit.plan_device_arrays()
+
+        def launch():
+            return decode_blocks_flat(
+                planes, p_used, p_off, p0, se_dev, shift_dev,
+                comp_rows=comp_rows, out_rows=nrows,
+                interpret=cfg.interpret,
+                pipeline_depth=min(2, cfg.pipeline_depth))
+
+        return launch
+
     def _decompress_tpu_planned(self, unit: CompressedUnit, out: np.ndarray
                                 ) -> np.ndarray:
         """Fast path: flat scheduled-fragment Pallas decode; unplanned

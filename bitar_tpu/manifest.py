@@ -254,14 +254,33 @@ class CompressedBuffers:
 
     def to_bytes(self) -> bytes:
         header = self.manifest.to_bytes()
-        return struct.pack("<I", len(header)) + header + self.packed.tobytes()
+        payload = self.packed.tobytes()
+        # Whole-payload CRC trailer: the manifest header is already
+        # self-CRC'd, but without this a flipped bit inside a compressed
+        # block can decode to silently-wrong bytes when the per-block raw
+        # checksum knob is off (the default, matching the reference's
+        # RTE_COMP_CHECKSUM_NONE).  Import always verifies it.
+        crc = struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+        return struct.pack("<I", len(header)) + header + payload + crc
 
     @staticmethod
     def from_bytes(data: bytes) -> "CompressedBuffers":
+        if len(data) < 4:
+            raise StatusError(Status.IOError("container truncated"))
         (hlen,) = struct.unpack("<I", data[:4])
+        if len(data) < 4 + hlen:
+            raise StatusError(Status.IOError("container header truncated"))
         manifest = BlockManifest.from_bytes(data[4:4 + hlen])
-        payload = np.frombuffer(data, dtype=np.uint8, offset=4 + hlen).copy()
-        if payload.shape[0] != manifest.total_comp:
+        body = len(data) - 4 - hlen
+        if body == manifest.total_comp + 4:
+            payload = np.frombuffer(data, dtype=np.uint8, offset=4 + hlen,
+                                    count=manifest.total_comp).copy()
+            (crc,) = struct.unpack("<I", data[-4:])
+            if zlib.crc32(payload.tobytes()) & 0xFFFFFFFF != crc:
+                raise StatusError(Status.IOError("payload CRC mismatch"))
+        elif body == manifest.total_comp:   # legacy container, no trailer
+            payload = np.frombuffer(data, dtype=np.uint8, offset=4 + hlen).copy()
+        else:
             raise StatusError(Status.IOError(
-                f"payload size {payload.shape[0]} != manifest total_comp {manifest.total_comp}"))
+                f"payload size {body} != manifest total_comp {manifest.total_comp}"))
         return CompressedBuffers(manifest=manifest, packed=payload)

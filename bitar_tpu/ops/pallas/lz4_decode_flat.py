@@ -57,6 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _PLANS_VMEM_BYTES = 12 * 1024 * 1024   # plans at most this big go VMEM-resident
+_S_QUANTUM = 512      # plan-array length rounds up to this (bounds the set
+                      # of compiled kernel shapes; S is a static dimension)
 CB = 4                # passes per phase batch (and per DMA transfer)
 DCHUNK = CB           # plan rows per DMA transfer
 
@@ -408,8 +410,12 @@ def flatten_batch_plans(se, shift, p_used, p0, nrows):
     sel = np.concatenate(
         [np.arange(i * mp, i * mp + int(p_used[i])) for i in range(n)]
     ) if n else np.zeros(0, np.int64)
-    se_flat = np.zeros((S + DCHUNK, tiles, LANES), np.int16)
-    sh_flat = np.zeros((S + DCHUNK, tiles, LANES), np.int32)
+    # Quantize the array length: it is part of the kernel's compiled
+    # shape, and every distinct S would otherwise trigger a fresh Mosaic
+    # compile (minutes on a remote compiler) per unit.
+    S_pad = -(-(S + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+    se_flat = np.zeros((S_pad, tiles, LANES), np.int16)
+    sh_flat = np.zeros((S_pad, tiles, LANES), np.int32)
     se_flat[:S] = se.reshape(n * mp, tiles, LANES)[sel]
     sh_flat[:S] = shift.reshape(n * mp, tiles, LANES)[sel]
     return {"p_used": p_used, "p_off": p_off, "p0": p0.astype(np.int32),
@@ -435,8 +441,9 @@ def build_flat_plans(per_block, comp_rows, nrows):
     p_off = np.zeros(n, np.int32)
     p_off[1:] = np.cumsum(p_used)[:-1]
     S = int(p_used.sum())
-    se = np.zeros((S + DCHUNK, tiles, LANES), np.int16)
-    shift = np.zeros((S + DCHUNK, tiles, LANES), np.int32)
+    S_pad = -(-(S + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+    se = np.zeros((S_pad, tiles, LANES), np.int16)
+    shift = np.zeros((S_pad, tiles, LANES), np.int32)
     for i, (se_i, sh_i, Ppad, _) in enumerate(packed):
         o = p_off[i]
         se[o:o + Ppad] = se_i.reshape(Ppad, tiles, LANES)

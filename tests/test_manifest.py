@@ -73,6 +73,20 @@ def test_compressed_buffers_container():
     assert back.manifest.total_raw == 300
 
 
+def test_payload_crc_detects_corruption():
+    m = BlockManifest.plan(300, 100)
+    m.comp_len[:] = [5, 7, 3]
+    cb = CompressedBuffers(manifest=m, packed=np.arange(15, dtype=np.uint8))
+    blob = bytearray(cb.to_bytes())
+    blob[-6] ^= 0x01            # a payload byte, not the manifest header
+    with pytest.raises(StatusError, match="payload CRC"):
+        CompressedBuffers.from_bytes(bytes(blob))
+    # legacy containers (no trailer) still import
+    legacy = cb.to_bytes()[:-4]
+    back = CompressedBuffers.from_bytes(legacy)
+    np.testing.assert_array_equal(back.packed, np.arange(15, dtype=np.uint8))
+
+
 def test_checksum_kinds():
     data = b"hello block"
     assert checksum_of(Checksum.NONE, data) == 0
