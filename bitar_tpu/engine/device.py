@@ -52,7 +52,10 @@ from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
 from ..ops.pallas.lz4_decode_flat import (
     CB as FLAT_CB,
+    KBAND,
+    bands_supported,
     bias_planes,
+    compute_bands,
     decode_blocks_flat,
     flatten_batch_plans,
 )
@@ -440,6 +443,18 @@ class Engine:
                 for i in np.flatnonzero(zmask)}
         comp_rows = max(128, -(-int(plane_bytes.max(initial=1)) // 128))
         comp_rows = -(-comp_rows // 128) * 128
+        if comp_rows > 128:
+            # Banded gathers want KB-tiled planes (KB = min(KBAND, rows));
+            # the padding is at most KBAND-128 rows of never-read slack.
+            comp_rows = -(-comp_rows // KBAND) * KBAND
+        # Banded gathers win only once a source plane outgrows one full-K
+        # matmul chunk: measured 128 KiB (1024-row planes) full-K 1.49 vs
+        # banded 0.92 GB/s (dynamic band loop beats nothing), but 512 KiB
+        # banded 0.70 vs 0.63 GB/s WITH a 12x faster Mosaic compile
+        # (29 s vs 335 s) — bands are what makes >=512 KiB blocks
+        # practical at all.
+        if bands_supported(comp_rows, nrows) and max(comp_rows, nrows) > 1024:
+            plans["bands"] = compute_bands(plans, comp_rows, nrows)
         return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
@@ -633,7 +648,7 @@ class Engine:
                     lit_dev[jnp.asarray(ks)])
             result = decode_blocks_flat(
                 planes, jnp.asarray(p_used), jnp.asarray(p_off),
-                jnp.asarray(p0), se_dev, shift_dev,
+                jnp.asarray(p0), se_dev, shift_dev, plans.get("bands"),
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth))
@@ -680,9 +695,11 @@ class Engine:
         p0 = jnp.asarray(plans["p0"])
         se_dev, shift_dev = unit.plan_device_arrays()
 
+        bands = plans.get("bands")
+
         def launch():
             return decode_blocks_flat(
-                planes, p_used, p_off, p0, se_dev, shift_dev,
+                planes, p_used, p_off, p0, se_dev, shift_dev, bands,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth))

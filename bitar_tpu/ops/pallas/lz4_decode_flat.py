@@ -61,6 +61,13 @@ _S_QUANTUM = 512      # plan-array length rounds up to this (bounds the set
                       # of compiled kernel shapes; S is a static dimension)
 CB = 4                # passes per phase batch (and per DMA transfer)
 DCHUNK = CB           # plan rows per DMA transfer
+KBAND = 256           # source rows per banded-gather matmul chunk
+_MT_MAX = 1024        # M-tile rows (bounds VMEM transients; see kernel)
+
+
+def mtile_count(nrows: int) -> int:
+    """Number of M-tiles the kernel splits a block's rows into."""
+    return nrows // min(nrows, _MT_MAX)
 
 
 def _colcast(vt, t0: int, nt: int):
@@ -75,10 +82,10 @@ def _colcast(vt, t0: int, nt: int):
     return jnp.concatenate(cols, axis=0) if nt > 1 else cols[0]
 
 
-def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
-                 out_ref, comp_sc, out_sc, *rest,
+def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
+                 comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, prefetch: bool,
-                 plans_vmem: bool):
+                 plans_vmem: bool, banded: bool):
     if plans_vmem:
         se_buf = shift_buf = sems = None
     else:
@@ -112,7 +119,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
     # All per-pass work is M-tiled at MT rows so VMEM transients stay
     # bounded regardless of block size (a [nrows, *] int32 working set
     # blows the 16 MiB scoped budget past 1024 rows).
-    MT = min(nrows, 1024)
+    MT = min(nrows, _MT_MAX)
     KC = 1024
     lane_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 1)
     row_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 0)
@@ -146,11 +153,20 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
             sems.at[1, slot]).wait()
 
     kiota = lax.broadcasted_iota(jnp.int32, (MT, KC), 1)
+    mtiles = nrows // MT
 
-    def one_pass_tile(tv, src_ref, mt):
+    def one_pass_tile(tv, src_ref, mt, band=None):
         """Gather + merge inputs for output rows [mt, mt+MT) of one pass
         whose pre-transposed plan values sit in ``tv`` (see
         ``chunk_values``), sourcing from ``src_ref``.
+
+        ``band`` (banded mode) is the pass's packed source-row band word
+        for this M-tile: ``base << 8 | nchunks`` with base 8-aligned and
+        ``base + nchunks*KB <= krows`` (host guarantee, KB =
+        min(KBAND, krows) — small planes shrink the chunk so the dynamic
+        slice stays in bounds); the gather then runs ``nchunks`` KB-row
+        matmuls instead of full K.  An all-inactive pass carries
+        nchunks == 0 and gathers nothing.
 
         Returns (active, val_i8): the tile's write mask + biased bytes.
         """
@@ -174,16 +190,41 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
             jnp.maximum(start + byte_iota - lane_iota + shift, 0), 7)
         row_a = jnp.minimum(row_a_full[:, 0:1], krows - 1)
 
-        acc = jnp.zeros((MT, 2 * LANES), jnp.int32)
-        for ck in range(0, krows, KC):
-            kc = min(KC, krows - ck)
-            oh = (kiota[:, :kc] == (row_a - ck)).astype(jnp.int8)
-            acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, :],
-                                preferred_element_type=jnp.int32)
+        if band is not None:
+            KB = min(KBAND, krows)
+            kiota_b = lax.broadcasted_iota(jnp.int32, (MT, KB), 1)
+            b0 = lax.shift_right_logical(band, 8)
+            bcnt = lax.bitwise_and(band, 0xFF)
+
+            def gather_chunk(ci, acc):
+                k0 = b0 + ci * KB
+                oh = (kiota_b == (row_a - k0)).astype(jnp.int8)
+                # base is 8-aligned by host construction; Mosaic needs the
+                # hint to emit an aligned sublane load.
+                src = src_ref[pl.ds(pl.multiple_of(k0, 8), KB), :]
+                return acc + jnp.dot(oh, src,
+                                     preferred_element_type=jnp.int32)
+
+            acc = lax.fori_loop(0, bcnt, gather_chunk,
+                                jnp.zeros((MT, 2 * LANES), jnp.int32))
+        else:
+            acc = jnp.zeros((MT, 2 * LANES), jnp.int32)
+            for ck in range(0, krows, KC):
+                kc = min(KC, krows - ck)
+                oh = (kiota[:, :kc] == (row_a - ck)).astype(jnp.int8)
+                acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, :],
+                                    preferred_element_type=jnp.int32)
         v_a = jnp.take_along_axis(acc[:, :LANES], qlane, axis=1)
         v_b = jnp.take_along_axis(acc[:, LANES:], qlane, axis=1)
         val = jnp.where(qrow == row_a, v_a, v_b)              # biased int32
         return active, val.astype(jnp.int8)
+
+    def band_of(c, j, mt):
+        """This pass+M-tile's band word from the SMEM band table."""
+        if not banded:
+            return None
+        prow = base + c * DCHUNK + j
+        return bands_ref[prow * mtiles + mt // MT]
 
     tiles = nrows // LANES
 
@@ -227,7 +268,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         for mt in range(0, nrows, MT):
             cur = out_sc[mt:mt + MT, 0:LANES]
             for j in range(CB):
-                a_j, v_j = one_pass_tile((vt_se, vt_sh, j), comp_sc, mt)
+                a_j, v_j = one_pass_tile((vt_se, vt_sh, j), comp_sc, mt,
+                                         band_of(c, j, mt))
                 cur = jnp.where(a_j, v_j, cur)
             out_sc[mt:mt + MT, 0:LANES] = cur
         return 0
@@ -241,7 +283,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
         vt_se, vt_sh = chunk_values(c, slot)
         for j in range(CB):
             for mt in range(0, nrows, MT):
-                a, v = one_pass_tile((vt_se, vt_sh, j), out_sc, mt)
+                a, v = one_pass_tile((vt_se, vt_sh, j), out_sc, mt,
+                                     band_of(c, j, mt))
                 cur = out_sc[mt:mt + MT, 0:LANES]
                 out_sc[mt:mt + MT, 0:LANES] = jnp.where(a, v, cur)
             out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
@@ -262,8 +305,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, se_ref, shift_ref, comp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth"))
-def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
-                       comp_rows: int, out_rows: int,
+def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
+                       bands=None, *, comp_rows: int, out_rows: int,
                        interpret: bool = False, pipeline_depth: int = 2):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
 
@@ -277,12 +320,21 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
                 (slack rows keep the fixed-size DMA in bounds; contents
                 are never read)
       shift_flat: [S, out_rows/128, 128] int32
+      bands:    optional [S * mtiles] int32 banded-gather table from
+                ``compute_bands``: per (pass, M-tile) packed source-row
+                band ``base << 8 | nchunks``.  When given, each gather
+                runs nchunks KBAND-row matmuls instead of full K — the
+                speed-of-light lever when source rows cluster (always,
+                for compressible data).  None = full-K gathers.
       pipeline_depth: 2 = prefetch the next plan chunk during compute
                 (default); 1 = serial fetch-then-compute (debug/compare)
 
     Returns [N, out_rows, 128] uint8 decoded byte planes.
     """
     assert pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2"
+    banded = bands is not None
+    if not banded:
+        bands = jnp.zeros(1, jnp.int32)       # placeholder, never read
     n = comp.shape[0]
     nrows = out_rows
     assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
@@ -314,7 +366,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n,),
         in_specs=plan_specs + [
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
@@ -329,7 +381,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
     )
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
-        prefetch=pipeline_depth == 2, plans_vmem=plans_vmem)
+        prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -340,7 +392,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(p_used, p_off, p0, se_flat, shift_flat, comp)
+    )(p_used, p_off, p0, bands, se_flat, shift_flat, comp)
 
 
 @functools.partial(jax.jit, static_argnames=("comp_rows",))
@@ -450,6 +502,69 @@ def build_flat_plans(per_block, comp_rows, nrows):
         shift[o:o + Ppad] = sh_i.reshape(Ppad, tiles, LANES)
     return {"p_used": p_used, "p_off": p_off, "p0": p0s,
             "se": se, "shift": shift}
+
+
+def bands_supported(comp_rows: int, nrows: int) -> bool:
+    """True when both source planes admit banded gathers: each plane's
+    chunk KB = min(KBAND, krows) must tile the plane exactly so a band
+    window can always be slid fully inside it (kr % KB == 0; kr = 384
+    with KB = 256 cannot be covered without overhang)."""
+    return all(k % min(KBAND, k) == 0 for k in (comp_rows, nrows))
+
+
+def compute_bands(plans: dict, comp_rows: int, nrows: int) -> np.ndarray:
+    """Per-(pass, M-tile) source-row bands for the banded-gather kernel.
+
+    For every populated pass row the source rows the kernel will gather
+    are fully determined by the plan: row_a = (row*128 + start + shift)
+    >> 7 over the pass's active rows.  Pack the covering [base,
+    base + nchunks*KB) window as ``base << 8 | nchunks`` (KB =
+    min(KBAND, plane rows); base 8-aligned for the dynamic sublane
+    slice, window slid left so it never runs past the source plane).
+    Passes with no active rows get 0 — the kernel skips their gathers
+    entirely.
+
+    Returns int32 [S * mtiles] (SMEM-resident via scalar prefetch).
+    """
+    assert bands_supported(comp_rows, nrows)
+    se = plans["se"].astype(np.int32)          # [S, tiles, LANES]
+    shift = plans["shift"]
+    S = se.shape[0]
+    mtiles = mtile_count(nrows)
+    start = (se >> 8) & 0x7F
+    end = se & 0xFF
+    active = end > start
+    rows = np.arange(nrows, dtype=np.int32).reshape(se.shape[1], LANES)
+    row_a = (rows[None] * LANES + start + shift) >> 7
+    # krows (and so the chunk size KB) per pass row: comp passes source
+    # the comp plane, out passes the output plane; slack/padding rows
+    # keep 0 (no active cells).
+    kr = np.zeros(S, np.int64)
+    p_off, p0, p_used = plans["p_off"], plans["p0"], plans["p_used"]
+    for i in range(p_used.shape[0]):
+        o = int(p_off[i])
+        kr[o:o + int(p0[i])] = comp_rows
+        kr[o + int(p0[i]):o + int(p_used[i])] = nrows
+    kb = np.minimum(KBAND, np.maximum(kr, 1))[:, None]
+    ra = np.where(active, row_a, np.int32(1 << 24))
+    rb = np.where(active, row_a, np.int32(-1))
+    grp = ra.reshape(S, mtiles, -1)
+    lo = grp.min(axis=2).astype(np.int64)
+    hi = rb.reshape(S, mtiles, -1).max(axis=2).astype(np.int64)
+    has = hi >= 0
+    lo = np.clip(lo, 0, np.maximum(kr, 1)[:, None] - 1)
+    hi = np.clip(hi, 0, np.maximum(kr, 1)[:, None] - 1)
+    base = lo & ~np.int64(7)
+    cnt = -(-(hi + 1 - base) // kb)
+    # Slide the window left so it ends inside the plane (kr % kb == 0
+    # keeps the slid base a multiple of kb, hence 8-aligned).
+    over = base + cnt * kb - kr[:, None]
+    base = np.where(over > 0, np.maximum(base - over, 0), base)
+    cnt = np.where(has, cnt, 0)
+    base = np.where(has, base, 0)
+    if (cnt > 0xFF).any():
+        raise ValueError("band chunk count exceeds 8-bit field")
+    return ((base << 8) | cnt).astype(np.int32).reshape(-1)
 
 
 def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):

@@ -167,6 +167,87 @@ def test_flat_plan_variant(rng):
             assert out[i].reshape(-1)[:block].tobytes() == d, f"block {i} depth {depth}"
 
 
+def test_flat_plan_banded_gathers(rng):
+    # Banded gathers (the large-block lever): per-(pass, M-tile) source
+    # bands shrink the one-hot matmul K; must stay bit-exact vs full-K.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        KBAND, bands_supported, build_flat_plans, compute_bands,
+        decode_blocks_flat)
+    import jax.numpy as jnp
+
+    block, nrows = BLOCK, NROWS
+    datas = [
+        (b"banded gather " * (block // 13 + 1))[:block],
+        rng.integers(0, 8, block, dtype=np.uint8).tobytes(),
+        b"\x21" * block,
+        rng.integers(0, 256, block, dtype=np.uint8).tobytes(),
+    ]
+    comps = [np.asarray(native.lz4_compress(d)) for d in datas]
+    raw_plans = [native.plan_block(c, block, nrows, max_passes=96, codec="lz4")
+                 for c in comps]
+    assert all(p[0] is not None for p in raw_plans)
+    comp_rows = -(-max(len(c) for c in comps) // 128)
+    comp_rows = -(-comp_rows // 128) * 128
+    if comp_rows > 128:
+        comp_rows = -(-comp_rows // KBAND) * KBAND
+    assert bands_supported(comp_rows, nrows)
+    plans = build_flat_plans(raw_plans, comp_rows, nrows)
+    bands = compute_bands(plans, comp_rows, nrows)
+    # Window invariant: every band fits its plane ([base, base+cnt*KB)).
+    nz = bands[bands != 0]
+    assert nz.size, "expected populated bands"
+    assert ((nz >> 8) % 8 == 0).all(), "band bases must be 8-aligned"
+    n = len(datas)
+    cp = np.zeros((n, comp_rows, 128), np.uint8)
+    for i, c in enumerate(comps):
+        cp[i].reshape(-1)[:len(c)] = c
+    cp_i8 = (cp.astype(np.int32) - 128).astype(np.int8)
+    out = np.asarray(decode_blocks_flat(
+        jnp.asarray(cp_i8), jnp.asarray(plans["p_used"]),
+        jnp.asarray(plans["p_off"]), jnp.asarray(plans["p0"]),
+        jnp.asarray(plans["se"]), jnp.asarray(plans["shift"]),
+        jnp.asarray(bands),
+        comp_rows=comp_rows, out_rows=nrows, interpret=True))
+    for i, d in enumerate(datas):
+        assert out[i].reshape(-1)[:block].tobytes() == d, f"banded block {i}"
+
+
+def test_compute_bands_window_fits_small_planes():
+    # KB shrinks to the plane when the plane is smaller than KBAND, and
+    # the slid window never runs past the plane even when a pass touches
+    # its last rows.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        KBAND, bands_supported, compute_bands)
+
+    assert bands_supported(128, 1024)      # KB=128 tile on the comp plane
+    assert bands_supported(1024, 1024)
+    assert not bands_supported(384, 1024)  # 384 % 256 != 0: no clean tiling
+    nrows, comp_rows = 1024, 128
+    tiles = nrows // 128
+    S = 8
+    se = np.zeros((S, tiles, 128), np.int16)
+    shift = np.zeros((S, tiles, 128), np.int32)
+    # One comp pass whose active rows source the END of the comp plane
+    # (row_a near comp_rows-1) and one out pass sourcing the end of the
+    # output plane.
+    se[0, 0, 0] = 0x0080                       # row 0 fully active
+    shift[0, 0, 0] = (comp_rows - 1) * 128     # sources last comp row
+    se[4, 0, 1] = 0x0080                       # out pass, row 1 active
+    shift[4, 0, 1] = (nrows - 2) * 128         # sources last out rows
+    plans = {"se": se, "shift": shift,
+             "p_used": np.array([8], np.int32),
+             "p_off": np.array([0], np.int32),
+             "p0": np.array([4], np.int32)}
+    bands = compute_bands(plans, comp_rows, nrows)
+    mt = max(1, nrows // 1024)
+    b0, c0 = int(bands[0]) >> 8, int(bands[0]) & 0xFF
+    kb_comp = min(KBAND, comp_rows)
+    assert c0 >= 1 and b0 + c0 * kb_comp <= comp_rows
+    b4, c4 = int(bands[4 * mt]) >> 8, int(bands[4 * mt]) & 0xFF
+    assert c4 >= 1 and b4 + c4 * KBAND <= nrows
+    assert b4 % 8 == 0
+
+
 def test_decompress_device_planned(rng):
     import jax
     with planned_engine() as eng:
