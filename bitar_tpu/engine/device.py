@@ -287,11 +287,17 @@ class Engine:
 
         refs = self.arena.take_refs(
             [int(x) for x in dst_len], [int(c) for c in codec_ids])
+        # Quantized used-prefix uploads: the wire carries only the burst's
+        # compressed bytes (rounded to slot/8 so the scatter compiles at
+        # most 8 shapes); the arena zero-fills the slot tails device-side.
+        wstep = max(128, cfg.slot_size // 8)
         for start in range(0, n, cfg.burst_size):
             stop = min(n, start + cfg.burst_size)
+            w = int(dst_len[start:stop].max(initial=1))
+            w = min(cfg.slot_size, -(-w // wstep) * wstep)
             self.arena.write_burst(
                 [r.slot for r in refs[start:stop]],
-                jnp.asarray(staging[start:stop]))
+                jnp.asarray(np.ascontiguousarray(staging[start:stop, :w])))
         self.stats.dequeued_blocks += n
         self.stats.bytes_compressed += int(manifest.total_raw)
         # Decode sidecars (plans / sequence tables) build lazily at first

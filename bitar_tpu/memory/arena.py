@@ -185,8 +185,15 @@ class DeviceArena:
 
     # -- data plane ----------------------------------------------------
     def write_burst(self, slot_ids: list[int], rows: jax.Array) -> None:
-        """Store ``rows[i]`` into slot ``slot_ids[i]`` (in-place on device)."""
-        assert rows.ndim == 2 and rows.shape[1] == self.slot_size, rows.shape
+        """Store ``rows[i]`` into slot ``slot_ids[i]`` (in-place on device).
+
+        ``rows`` may be narrower than ``slot_size`` (a used-prefix write):
+        the device zero-fills the remainder, so the host->device wire
+        carries only the used bytes — on a thin link the transfer, not
+        the scatter, is the cost.  Callers should quantize the width
+        (compress does: slot/8 steps) so the jitted scatter compiles a
+        bounded set of shapes."""
+        assert rows.ndim == 2 and rows.shape[1] <= self.slot_size, rows.shape
         idx = jnp.asarray(np.asarray(slot_ids, dtype=np.int32))
         with self._buf_lock:
             self._buf = self._write(self._buf, rows, idx)
@@ -245,6 +252,8 @@ class _nullcontext:
 
 
 def _scatter_rows(buf: jax.Array, rows: jax.Array, idx: jax.Array) -> jax.Array:
+    if rows.shape[1] < buf.shape[1]:    # prefix write: zero-fill device-side
+        rows = jnp.pad(rows, ((0, 0), (0, buf.shape[1] - rows.shape[1])))
     return buf.at[idx].set(rows)
 
 

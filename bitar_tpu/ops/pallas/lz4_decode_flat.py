@@ -65,9 +65,9 @@ KBAND = 256           # source rows per banded-gather matmul chunk
 _MT_MAX = 1024        # M-tile rows (bounds VMEM transients; see kernel)
 
 
-def mtile_count(nrows: int) -> int:
+def mtile_count(nrows: int, mt_max: int = _MT_MAX) -> int:
     """Number of M-tiles the kernel splits a block's rows into."""
-    return nrows // min(nrows, _MT_MAX)
+    return nrows // min(nrows, mt_max)
 
 
 def _colcast(vt, t0: int, nt: int):
@@ -85,7 +85,7 @@ def _colcast(vt, t0: int, nt: int):
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, prefetch: bool,
-                 plans_vmem: bool, banded: bool):
+                 plans_vmem: bool, banded: bool, mt_max: int):
     if plans_vmem:
         se_buf = shift_buf = sems = None
     else:
@@ -119,7 +119,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
     # All per-pass work is M-tiled at MT rows so VMEM transients stay
     # bounded regardless of block size (a [nrows, *] int32 working set
     # blows the 16 MiB scoped budget past 1024 rows).
-    MT = min(nrows, _MT_MAX)
+    MT = min(nrows, mt_max)
     KC = 1024
     lane_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 1)
     row_iota = lax.broadcasted_iota(jnp.int32, (MT, LANES), 0)
@@ -152,6 +152,10 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
             shift_buf.at[pl.ds(slot * DCHUNK, DCHUNK)],
             sems.at[1, slot]).wait()
 
+    # One-hot construction is an [MT, K] int32 elementwise compare per
+    # gather.  Narrower compares do NOT help: v5e has no 16-bit iota and
+    # "target does not support this comparison" for int16 == (measured) —
+    # the VPU is 32-bit-laned, so int32 is already its native compare.
     kiota = lax.broadcasted_iota(jnp.int32, (MT, KC), 1)
     mtiles = nrows // MT
 
@@ -304,10 +308,12 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth"))
+    static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth",
+                     "mt_max"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                        bands=None, *, comp_rows: int, out_rows: int,
-                       interpret: bool = False, pipeline_depth: int = 2):
+                       interpret: bool = False, pipeline_depth: int = 2,
+                       mt_max: int = _MT_MAX):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
 
     Args:
@@ -381,7 +387,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     )
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
-        prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded)
+        prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded,
+        mt_max=mt_max)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -512,7 +519,8 @@ def bands_supported(comp_rows: int, nrows: int) -> bool:
     return all(k % min(KBAND, k) == 0 for k in (comp_rows, nrows))
 
 
-def compute_bands(plans: dict, comp_rows: int, nrows: int) -> np.ndarray:
+def compute_bands(plans: dict, comp_rows: int, nrows: int,
+                  mt_max: int = _MT_MAX) -> np.ndarray:
     """Per-(pass, M-tile) source-row bands for the banded-gather kernel.
 
     For every populated pass row the source rows the kernel will gather
@@ -530,7 +538,7 @@ def compute_bands(plans: dict, comp_rows: int, nrows: int) -> np.ndarray:
     se = plans["se"].astype(np.int32)          # [S, tiles, LANES]
     shift = plans["shift"]
     S = se.shape[0]
-    mtiles = mtile_count(nrows)
+    mtiles = mtile_count(nrows, mt_max)
     start = (se >> 8) & 0x7F
     end = se & 0xFF
     active = end > start

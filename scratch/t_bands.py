@@ -1,5 +1,6 @@
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
 from bitar_tpu.ops.cpu import native
