@@ -297,7 +297,13 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
     nchunks = npass // DCHUNK
     ncomp_chunks = ncomp // DCHUNK
     if prefetch and not plans_vmem:
-        fetch(0, 0)
+        # A zero-pass block (host-fallback placeholder) must not start a
+        # DMA it will never wait on — the chunk loops have zero trips and
+        # an un-awaited semaphore poisons the device (measured:
+        # FAILED_PRECONDITION on the next launch).
+        @pl.when(nchunks > 0)
+        def _():
+            fetch(0, 0)
     lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
     # Comp batches skip mirror upkeep; sync once before the out phase.
     out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
