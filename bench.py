@@ -39,7 +39,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 NORTH_STAR_GBPS = 10.0
 BLOCK = 128 * 1024
-NBLOCKS = 64
+# 256-block launches amortize the fixed per-launch cost (measured ~2-4 ms
+# even for an empty kernel on this setup): 64 -> 256 blocks lifted the
+# same kernel from 0.94 to 1.48 GB/s.  The reference's analog is burst
+# sizing (config.h:146-152).
+NBLOCKS = 256
 REPS = 8
 
 

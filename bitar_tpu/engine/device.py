@@ -396,7 +396,11 @@ class Engine:
                 status[i] = e.status.to_int()
         return dst_len, status
 
-    _PLAN_MAX_PASSES = 96
+    # Deep-plan budget: 96 stranded zstd blocks (and band-constrained
+    # schedules) on the host path at CAPACITY; 160 keeps them on device —
+    # measured zstd decompress 0.09 -> 1.44 GB/s.  Cost is host plan
+    # scratch only (the flat wire carries just p_used rows).
+    _PLAN_MAX_PASSES = 160
 
     def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):
         """Build scheduled decode plans (the fast TPU path) per block.
@@ -420,13 +424,37 @@ class Engine:
         # sequence execution rides the device kernel too.
         has_zstd = bool((manifest.codec_ids == _ZSTD_ID).any())
         lit_out = np.empty(n * cfg.block_size, np.uint8) if has_zstd else None
+        # Static banded gathers: schedule under the band constraint so
+        # every (pass, M-tile) gather is ONE KBAND-row matmul instead of
+        # full-K chunks.  Measured (2026-08-17, 128 KiB corpus, 256-block
+        # launches): full-K 1.48 GB/s vs static 1.29 — the band
+        # constraint's extra passes (26.6 -> 38 mean) cost more than the
+        # K shrink saves, because per-pass cost is dominated by
+        # K-independent VPU work.  But for > 1024-row planes full-K is
+        # impractical (Mosaic compile minutes, and K grows with block
+        # size), so static bands are the large-block default.
+        band_rows = KBAND if (nrows % min(KBAND, nrows) == 0
+                              and nrows > 1024) else 0
         se, shift, p_used, p0, status, lit_used = native.plan_batch_flat(
             staging.reshape(-1),
             np.arange(n, dtype=np.int64) * slot,
             manifest.comp_len, manifest.raw_len, manifest.codec_ids,
             nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
-            lit_out=lit_out, lit_stride=cfg.block_size)
+            lit_out=lit_out, lit_stride=cfg.block_size, band_rows=band_rows)
         ok = status == 0
+        if band_rows and not ok.all():
+            # Some block only fails under the band constraint: re-plan
+            # unbanded so banding (an optimization) never shrinks device
+            # coverage; genuinely-unplannable blocks fail again and take
+            # the per-block host path as before.
+            band_rows = 0
+            se, shift, p_used, p0, status, lit_used = native.plan_batch_flat(
+                staging.reshape(-1),
+                np.arange(n, dtype=np.int64) * slot,
+                manifest.comp_len, manifest.raw_len, manifest.codec_ids,
+                nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
+                lit_out=lit_out, lit_stride=cfg.block_size)
+            ok = status == 0
         if not ok.any():
             return None               # nothing plannable: fallback paths
         # Unplannable/malformed blocks keep p_used == 0 (the kernel skips
@@ -453,14 +481,27 @@ class Engine:
             # Banded gathers want KB-tiled planes (KB = min(KBAND, rows));
             # the padding is at most KBAND-128 rows of never-read slack.
             comp_rows = -(-comp_rows // KBAND) * KBAND
-        # Banded gathers win only once a source plane outgrows one full-K
-        # matmul chunk: measured 128 KiB (1024-row planes) full-K 1.49 vs
-        # banded 0.92 GB/s (dynamic band loop beats nothing), but 512 KiB
-        # banded 0.70 vs 0.63 GB/s WITH a 12x faster Mosaic compile
-        # (29 s vs 335 s) — bands are what makes >=512 KiB blocks
-        # practical at all.
-        if bands_supported(comp_rows, nrows) and max(comp_rows, nrows) > 1024:
-            plans["bands"] = compute_bands(plans, comp_rows, nrows)
+        # Band table selection, in preference order:
+        #   1. static bands (plans built with band_rows=KBAND): every
+        #      gather is one branch-free KBAND-row matmul;
+        #   2. dynamic bands when band planning fell back but the OUT
+        #      plane is still > 1024 rows — the per-(pass,tile) chunk
+        #      loop still beats full-K there AND keeps Mosaic compile
+        #      times sane (512 KiB: 29 s vs 335 s);
+        #   3. no bands (full-K gathers) for <= 1024-row out planes —
+        #      measured fastest (1.48 vs 1.29 GB/s static at 128 KiB,
+        #      256-block launches), incl. comp planes up to 2x nrows.
+        if bands_supported(comp_rows, nrows):
+            if band_rows:
+                bands = compute_bands(plans, comp_rows, nrows)
+                if int((bands & 0xFF).max(initial=0)) <= 1:
+                    plans["bands"] = bands
+                    plans["bands_static"] = True
+                # a >1-chunk band here would mean the planner promise was
+                # broken — fall through to the unbanded kernel rather
+                # than decode garbage
+            elif nrows > 1024:
+                plans["bands"] = compute_bands(plans, comp_rows, nrows)
         return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
@@ -657,7 +698,8 @@ class Engine:
                 jnp.asarray(p0), se_dev, shift_dev, plans.get("bands"),
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
-                pipeline_depth=min(2, cfg.pipeline_depth))
+                pipeline_depth=min(2, cfg.pipeline_depth),
+                static_bands=plans.get("bands_static", False))
             launches.append((chunk, result))
             self.stats.enqueued_blocks += nb
         return launches
@@ -703,12 +745,15 @@ class Engine:
 
         bands = plans.get("bands")
 
+        static = plans.get("bands_static", False)
+
         def launch():
             return decode_blocks_flat(
                 planes, p_used, p_off, p0, se_dev, shift_dev, bands,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
-                pipeline_depth=min(2, cfg.pipeline_depth))
+                pipeline_depth=min(2, cfg.pipeline_depth),
+                static_bands=static)
 
         return launch
 

@@ -132,14 +132,18 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * offset i*max_passes in se (int16, packed start<<8|end per (pass, row)
  * cell) and shift (int32, plane-local source shifts); p_used/p0 receive
  * cb-padded pass counts; status[i] = BT_OK or negative (BT_ERR_CAPACITY
- * = unplannable, use the fallback kernel). */
+ * = unplannable, use the fallback kernel).  band_rows > 0 constrains
+ * every (pass, band_tile-row tile)'s source rows to one band_rows-row
+ * window (8-aligned base) so the device kernel can gather with a single
+ * static-K matmul per pass; band_rows = 0 means unconstrained and
+ * band_tile <= 0 defaults to 1024 (the kernel's default M-tile). */
 void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int nblocks, const uint8_t* src, const int64_t* src_off,
                    const int32_t* src_len, const int32_t* out_len, int nrows,
-                   int max_passes, int split_limit, int cb, int16_t* se,
-                   int32_t* shift, int32_t* p_used, int32_t* p0,
-                   int32_t* status, uint8_t* lit_out, int64_t lit_stride,
-                   int32_t* lit_used);
+                   int max_passes, int split_limit, int cb, int band_rows,
+                   int band_tile, int16_t* se, int32_t* shift,
+                   int32_t* p_used, int32_t* p0, int32_t* status,
+                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used);
 
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);

@@ -23,7 +23,7 @@ _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -81,7 +81,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.bt_plan_batch.argtypes = [
         ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
         u8p, i64p, i32p, i32p,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         i16p, i32p, i32p, i32p, i32p,
         u8p, ctypes.c_int64, i32p]
     lib.bt_plan_rows.restype = ctypes.c_int
@@ -291,7 +292,8 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
                     out_len: np.ndarray, codec_ids: np.ndarray, nrows: int,
                     max_passes: int, cb: int, split_limit: int = 8,
                     nthreads: int = 0, lit_out: np.ndarray | None = None,
-                    lit_stride: int = 0):
+                    lit_stride: int = 0, band_rows: int = 0,
+                    band_tile: int = 0):
     """Batched parse+plan+pack into the flat decode-kernel wire.
 
     Returns (se [n, max_passes, nrows] int16, shift int32, p_used [n],
@@ -300,6 +302,13 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     zstd blocks' entropy-decoded literal planes; lit_used[i] > 0 marks a
     block whose plan sources the LITERAL plane instead of the compressed
     bytes.  The per-(pass,row) cell format matches ``lz4_decode_flat``.
+
+    ``band_rows`` > 0 schedules under the banded-gather constraint: every
+    (pass, band_tile-row output tile)'s source rows fit one band_rows-row
+    window with 8-aligned base, so the device kernel runs ONE static-K
+    gather matmul per pass instead of full-K chunks.  Costs extra passes
+    when fragments' sources spread; 0 = unconstrained.  ``band_tile``
+    must match the kernel's M-tile (mt_max); 0 defaults to 1024.
     """
     n = int(src_len.shape[0])
     if nthreads <= 0:
@@ -316,7 +325,7 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
         _u8ptr(src), _i64ptr(np.ascontiguousarray(src_off, np.int64)),
         _i32ptr(np.ascontiguousarray(src_len, np.int32)),
         _i32ptr(np.ascontiguousarray(out_len, np.int32)),
-        nrows, max_passes, split_limit, cb,
+        nrows, max_passes, split_limit, cb, band_rows, band_tile,
         se.ctypes.data_as(i16p), _i32ptr(shift), _i32ptr(p_used),
         _i32ptr(p0), _i32ptr(status),
         _u8ptr(lit_out) if lit_out is not None else None,

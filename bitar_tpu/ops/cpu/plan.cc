@@ -185,9 +185,33 @@ class Planner {
   //   * at most one cell per (row, pass),
   //   * comp-source cells take passes [0, p0), out-source cells [p0, P),
   //   * an out-source cell's pass strictly exceeds the passes of all cells
-  //     covering its source byte range.
+  //     covering its source byte range,
+  //   * with band_rows > 0: per (pass, band_tile-row output tile), all
+  //     source rows fit one window of band_rows rows whose 8-aligned base
+  //     the device kernel uses for a single static-K gather matmul
+  //     (lz4_decode_flat.py KBAND) — the constraint that turns every
+  //     gather from O(plane rows) into O(band_rows).  band_tile must
+  //     equal the kernel's M-tile (mt_max); finer tiles bind the
+  //     constraint less (fewer extra passes) at more per-pass M-tile
+  //     iterations.
   // Returns total passes, or -1 when over budget.
-  int Schedule(int nrows, int max_passes, int* p0_out) {
+  static constexpr int kTileRows = 1024;  // default kernel M-tile (mt_max)
+
+  struct Band {
+    int32_t lo = -1, hi = -1;
+    bool Fits(int32_t srlo, int32_t srhi, int band_rows) const {
+      const int32_t nlo = lo < 0 ? srlo : std::min(lo, srlo);
+      const int32_t nhi = lo < 0 ? srhi : std::max(hi, srhi);
+      return nhi - (nlo & ~7) < band_rows;
+    }
+    void Add(int32_t srlo, int32_t srhi) {
+      lo = lo < 0 ? srlo : std::min(lo, srlo);
+      hi = hi < 0 ? srhi : std::max(hi, srhi);
+    }
+  };
+
+  int Schedule(int nrows, int max_passes, int* p0_out, int band_rows = 0,
+               int band_tile = kTileRows) {
     // Allocate cell pass storage.
     size_t total_cells = 0;
     for (Frag& f : frags_) {
@@ -196,19 +220,53 @@ class Planner {
     }
     cell_pass_.assign(total_cells, 0);
 
+    const int ntiles = (nrows + band_tile - 1) / band_tile;
+    std::vector<Band> bands;
+    if (band_rows > 0) {
+      bands.assign(static_cast<size_t>(max_passes) * ntiles, Band{});
+    }
+    // (row, pass) occupancy for the comp phase: band constraints leave
+    // holes, so a plain per-row counter no longer works.
+    std::vector<uint8_t> comp_used;
     std::vector<int> comp_slots(nrows, 0);
+    if (band_rows > 0) {
+      comp_used.assign(static_cast<size_t>(nrows) * max_passes, 0);
+    }
     int p0 = 0;
     for (const Frag& f : frags_) {
       if (f.out_space) continue;
       const int r0 = f.dst / 128;
       const int r1 = (f.dst + f.len - 1) / 128;
       for (int r = r0; r <= r1; ++r) {
-        const int pass = comp_slots[r]++;
+        int pass;
+        if (band_rows > 0) {
+          const int32_t cell_lo = std::max(f.dst, r * 128);
+          const int32_t cell_hi = std::min(f.dst + f.len, (r + 1) * 128);
+          const int32_t srlo = (cell_lo + f.shift) >> 7;
+          const int32_t srhi = (cell_hi - 1 + f.shift) >> 7;
+          const int tile = r / band_tile;
+          uint8_t* row_used =
+              comp_used.data() + static_cast<size_t>(r) * max_passes;
+          pass = 0;
+          while (pass < max_passes &&
+                 (row_used[pass] ||
+                  !bands[static_cast<size_t>(pass) * ntiles + tile].Fits(
+                      srlo, srhi, band_rows))) {
+            ++pass;
+          }
+          if (pass >= max_passes) return -1;
+          row_used[pass] = 1;
+          bands[static_cast<size_t>(pass) * ntiles + tile].Add(srlo, srhi);
+        } else {
+          pass = comp_slots[r]++;
+        }
         cell_pass_[f.cell_base + (r - r0)] = pass;
         p0 = std::max(p0, pass + 1);
       }
     }
     if (p0 > max_passes) return -1;
+    // Out passes take pass numbers >= p0, so the same per-pass band slots
+    // serve both phases without a reset (comp bands live in [0, p0)).
 
     // Out-source cells: dependency floors leave holes in a row's pass
     // sequence; reuse them (first-fit above the floor) instead of only
@@ -244,8 +302,22 @@ class Planner {
         }
         int pass = std::max(floor_pass + 1, p0);
         uint8_t* row_used = used.data() + static_cast<size_t>(r) * max_passes;
-        while (pass < max_passes && row_used[pass]) ++pass;
-        if (pass >= max_passes) return -1;
+        if (band_rows > 0) {
+          const int32_t srlo = (cell_lo + f.shift) >> 7;
+          const int32_t srhi = (cell_hi - 1 + f.shift) >> 7;
+          const int tile = r / band_tile;
+          while (pass < max_passes &&
+                 (row_used[pass] ||
+                  !bands[static_cast<size_t>(pass) * ntiles + tile].Fits(
+                      srlo, srhi, band_rows))) {
+            ++pass;
+          }
+          if (pass >= max_passes) return -1;
+          bands[static_cast<size_t>(pass) * ntiles + tile].Add(srlo, srhi);
+        } else {
+          while (pass < max_passes && row_used[pass]) ++pass;
+          if (pass >= max_passes) return -1;
+        }
         row_used[pass] = 1;
         cell_pass_[f.cell_base + (r - r0)] = pass;
         total = std::max(total, pass + 1);
@@ -376,22 +448,31 @@ namespace {
 // (BT_ERR_CAPACITY -> caller falls back to the sequence-walk kernel).
 int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
                 int nrows, int max_passes, int split_limit, int cb,
-                int16_t* se, int32_t* shift, int32_t* p_used_out,
-                int32_t* p0_out, uint8_t* lit_out, int lit_cap,
-                int32_t* lit_used_out) {
+                int band_rows, int band_tile, int16_t* se, int32_t* shift,
+                int32_t* p_used_out, int32_t* p0_out, uint8_t* lit_out,
+                int lit_cap, int32_t* lit_used_out) {
   if (out_len < 0 || static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
     return BT_ERR_INVALID;
   }
+  if (band_tile <= 0) band_tile = Planner::kTileRows;
   const auto pad = [cb](int v) { return (v + cb - 1) / cb * cb; };
 
   if (codec == BT_CODEC_RAW) {
+    // Identity copy: row r sources row r, so one pass's source band per
+    // M-tile is the tile itself — with a band constraint the tile must
+    // split into ceil(tile/band_rows) passes of band_rows rows each.
     const int rows_used = (out_len + 127) / 128;
-    const int total = std::max(cb, pad(1));
+    const int tile = band_tile;
+    const int kb = band_rows > 0 ? band_rows : tile;
+    const int npass = (std::min(rows_used, tile) + kb - 1) / kb;
+    const int total = std::max(cb, pad(npass));
+    if (total > max_passes) return BT_ERR_CAPACITY;
     std::memset(se, 0, sizeof(int16_t) * static_cast<size_t>(total) * nrows);
     std::memset(shift, 0, sizeof(int32_t) * static_cast<size_t>(total) * nrows);
     for (int r = 0; r < rows_used; ++r) {
       const int end = std::min(128, out_len - r * 128);
-      se[r] = static_cast<int16_t>(end);  // start 0, pass 0
+      const int pass = (r % tile) / kb;
+      se[static_cast<size_t>(pass) * nrows + r] = static_cast<int16_t>(end);
     }
     *p_used_out = total;
     *p0_out = total;
@@ -452,7 +533,8 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   if (covered != out_len) return BT_ERR_IO;
 
   int p0 = 0;
-  const int total = planner.Schedule(nrows, budget, &p0);
+  const int total = planner.Schedule(nrows, budget, &p0, band_rows,
+                                     band_tile);
   if (total < 0) return BT_ERR_CAPACITY;
 
   const int p0_pad = std::max(cb, pad(p0));
@@ -495,10 +577,10 @@ extern "C" {
 void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int nblocks, const uint8_t* src, const int64_t* src_off,
                    const int32_t* src_len, const int32_t* out_len, int nrows,
-                   int max_passes, int split_limit, int cb, int16_t* se,
-                   int32_t* shift, int32_t* p_used, int32_t* p0,
-                   int32_t* status, uint8_t* lit_out, int64_t lit_stride,
-                   int32_t* lit_used) {
+                   int max_passes, int split_limit, int cb, int band_rows,
+                   int band_tile, int16_t* se, int32_t* shift,
+                   int32_t* p_used, int32_t* p0, int32_t* status,
+                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used) {
   if (nblocks <= 0) return;
   if (nthreads < 1) nthreads = 1;
   const unsigned hw = std::thread::hardware_concurrency();
@@ -521,14 +603,14 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
       int32_t lit_scratch = 0;
       if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
       int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
-                           max_passes, split_limit, cb, se + base,
-                           shift + base, p_used + i, p0 + i, lit_i,
+                           max_passes, split_limit, cb, band_rows, band_tile,
+                           se + base, shift + base, p_used + i, p0 + i, lit_i,
                            lit_cap_i, lit_used_i);
       if (rc == BT_ERR_CAPACITY && split_limit != 2) {
         rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
-                         max_passes, /*split_limit=*/2, cb, se + base,
-                         shift + base, p_used + i, p0 + i, lit_i,
-                         lit_cap_i, lit_used_i);
+                         max_passes, /*split_limit=*/2, cb, band_rows,
+                         band_tile, se + base, shift + base, p_used + i,
+                         p0 + i, lit_i, lit_cap_i, lit_used_i);
       }
       status[i] = rc;
       if (rc != BT_OK) {

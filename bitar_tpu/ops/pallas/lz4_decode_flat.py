@@ -85,7 +85,8 @@ def _colcast(vt, t0: int, nt: int):
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, prefetch: bool,
-                 plans_vmem: bool, banded: bool, mt_max: int):
+                 plans_vmem: bool, banded: bool, static_bands: bool,
+                 mt_max: int):
     if plans_vmem:
         se_buf = shift_buf = sems = None
     else:
@@ -156,7 +157,6 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
     # gather.  Narrower compares do NOT help: v5e has no 16-bit iota and
     # "target does not support this comparison" for int16 == (measured) —
     # the VPU is 32-bit-laned, so int32 is already its native compare.
-    kiota = lax.broadcasted_iota(jnp.int32, (MT, KC), 1)
     mtiles = nrows // MT
 
     def one_pass_tile(tv, src_ref, mt, band=None):
@@ -198,24 +198,39 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
             KB = min(KBAND, krows)
             kiota_b = lax.broadcasted_iota(jnp.int32, (MT, KB), 1)
             b0 = lax.shift_right_logical(band, 8)
-            bcnt = lax.bitwise_and(band, 0xFF)
+            if static_bands:
+                # Planner-enforced bands (bt_plan_batch band_rows=KBAND):
+                # every (pass, tile)'s sources fit ONE window, so the
+                # gather is a single branch-free static-K matmul.  An
+                # inactive pass carries band 0 and gathers garbage that
+                # the all-false active mask discards.
+                oh = (kiota_b == (row_a - b0)).astype(jnp.int8)
+                src = src_ref[pl.ds(pl.multiple_of(b0, 8), KB), :]
+                acc = jnp.dot(oh, src, preferred_element_type=jnp.int32)
+            else:
+                bcnt = lax.bitwise_and(band, 0xFF)
 
-            def gather_chunk(ci, acc):
-                k0 = b0 + ci * KB
-                oh = (kiota_b == (row_a - k0)).astype(jnp.int8)
-                # base is 8-aligned by host construction; Mosaic needs the
-                # hint to emit an aligned sublane load.
-                src = src_ref[pl.ds(pl.multiple_of(k0, 8), KB), :]
-                return acc + jnp.dot(oh, src,
-                                     preferred_element_type=jnp.int32)
+                def gather_chunk(ci, acc):
+                    k0 = b0 + ci * KB
+                    oh = (kiota_b == (row_a - k0)).astype(jnp.int8)
+                    # base is 8-aligned by host construction; Mosaic needs
+                    # the hint to emit an aligned sublane load.
+                    src = src_ref[pl.ds(pl.multiple_of(k0, 8), KB), :]
+                    return acc + jnp.dot(oh, src,
+                                         preferred_element_type=jnp.int32)
 
-            acc = lax.fori_loop(0, bcnt, gather_chunk,
-                                jnp.zeros((MT, 2 * LANES), jnp.int32))
+                acc = lax.fori_loop(0, bcnt, gather_chunk,
+                                    jnp.zeros((MT, 2 * LANES), jnp.int32))
         else:
             acc = jnp.zeros((MT, 2 * LANES), jnp.int32)
             for ck in range(0, krows, KC):
                 kc = min(KC, krows - ck)
-                oh = (kiota[:, :kc] == (row_a - ck)).astype(jnp.int8)
+                # Per-chunk iota instead of slicing one [MT, KC] iota:
+                # the tail chunk's strided slice (kc < KC) crashes the
+                # Mosaic vector-layout pass (Check limits <= dim, observed
+                # on comp_rows = 1280 planes).
+                kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
+                oh = (kio == (row_a - ck)).astype(jnp.int8)
                 acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, :],
                                     preferred_element_type=jnp.int32)
         v_a = jnp.take_along_axis(acc[:, :LANES], qlane, axis=1)
@@ -315,11 +330,11 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth",
-                     "mt_max"))
+                     "mt_max", "static_bands"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                        bands=None, *, comp_rows: int, out_rows: int,
                        interpret: bool = False, pipeline_depth: int = 2,
-                       mt_max: int = _MT_MAX):
+                       mt_max: int = _MT_MAX, static_bands: bool = False):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
 
     Args:
@@ -340,11 +355,18 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                 for compressible data).  None = full-K gathers.
       pipeline_depth: 2 = prefetch the next plan chunk during compute
                 (default); 1 = serial fetch-then-compute (debug/compare)
+      static_bands: host promise that every band word covers the pass's
+                sources in ONE window (plans built with band_rows=KBAND),
+                so gathers lower to a single branch-free static-K matmul
+                — the cheapest gather shape.  Requires ``bands``.
 
     Returns [N, out_rows, 128] uint8 decoded byte planes.
     """
     assert pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2"
     banded = bands is not None
+    assert not (static_bands and not banded), "static_bands requires bands"
+    assert not (static_bands and mt_max > _MT_MAX), \
+        "planner band tiles are 1024 rows; coarser M-tiles break the promise"
     if not banded:
         bands = jnp.zeros(1, jnp.int32)       # placeholder, never read
     n = comp.shape[0]
@@ -394,7 +416,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
         prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded,
-        mt_max=mt_max)
+        static_bands=static_bands, mt_max=mt_max)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

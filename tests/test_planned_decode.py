@@ -212,6 +212,60 @@ def test_flat_plan_banded_gathers(rng):
         assert out[i].reshape(-1)[:block].tobytes() == d, f"banded block {i}"
 
 
+def test_flat_plan_static_bands(rng):
+    # Static banded gathers: plans scheduled under bt_plan_batch's
+    # band_rows constraint make every (pass, M-tile) band a single
+    # KBAND-row window (cnt <= 1), so the kernel's static single-gather
+    # mode applies; must stay bit-exact vs the oracle.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        KBAND, bands_supported, compute_bands, decode_blocks_flat,
+        decode_flat_numpy, flatten_batch_plans)
+    import jax.numpy as jnp
+
+    block = 64 * 1024
+    nrows = block // 128                       # 512: KB-tiled, >= 2*KBAND
+    datas = [
+        (b"static band gather " * (block // 19 + 1))[:block],
+        rng.integers(0, 8, block, dtype=np.uint8).tobytes(),
+        b"\x5a" * block,
+        rng.integers(0, 256, block, dtype=np.uint8).tobytes(),
+    ]
+    comps = [np.asarray(native.lz4_compress(d)) for d in datas]
+    src = np.concatenate(comps)
+    lens = np.array([len(c) for c in comps], np.int32)
+    off = np.zeros(len(comps), np.int64)
+    off[1:] = np.cumsum(lens[:-1])
+    se, sh, pu, p0, st, _ = native.plan_batch_flat(
+        src, off, lens, np.full(len(comps), block, np.int32),
+        np.zeros(len(comps), np.int32), nrows, 160, cb=4, band_rows=KBAND)
+    assert (st == 0).all(), f"band-constrained planning failed: {st}"
+    plans = flatten_batch_plans(se, sh, pu, p0, nrows)
+    comp_rows = -(-int(lens.max()) // 128)
+    comp_rows = -(-comp_rows // 128) * 128
+    if comp_rows > 128:
+        comp_rows = -(-comp_rows // KBAND) * KBAND
+    assert bands_supported(comp_rows, nrows)
+    bands = compute_bands(plans, comp_rows, nrows)
+    assert int((bands & 0xFF).max()) <= 1, "planner band promise broken"
+    oracle = decode_flat_numpy(comps, plans, comp_rows, nrows)
+    for i, d in enumerate(datas):
+        assert oracle[i].reshape(-1)[:block].tobytes() == d, f"oracle {i}"
+    n = len(datas)
+    cp = np.zeros((n, comp_rows, 128), np.uint8)
+    for i, c in enumerate(comps):
+        cp[i].reshape(-1)[:len(c)] = c
+    cp_i8 = (cp.astype(np.int32) - 128).astype(np.int8)
+    out = np.asarray(decode_blocks_flat(
+        jnp.asarray(cp_i8), jnp.asarray(plans["p_used"]),
+        jnp.asarray(plans["p_off"]), jnp.asarray(plans["p0"]),
+        jnp.asarray(plans["se"]), jnp.asarray(plans["shift"]),
+        jnp.asarray(bands),
+        comp_rows=comp_rows, out_rows=nrows, interpret=True,
+        static_bands=True))
+    for i, d in enumerate(datas):
+        assert out[i].reshape(-1)[:block].tobytes() == d, f"static block {i}"
+
+
 def test_compute_bands_window_fits_small_planes():
     # KB shrinks to the plane when the plane is smaller than KBAND, and
     # the slid window never runs past the plane even when a pass touches
