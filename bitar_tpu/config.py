@@ -239,8 +239,8 @@ class EngineConfig:
             return Status.Invalid(
                 f"compress_matcher {self.compress_matcher!r} not in (host, tpu)")
         if self.compress_matcher == "tpu":
-            if self.codec != Codec.LZ4:
-                return Status.Invalid("tpu matcher supports LZ4 only")
+            if self.codec not in (Codec.LZ4, Codec.SNAPPY):
+                return Status.Invalid("tpu matcher supports LZ4 and Snappy")
             if self.block_size % (128 * 128) != 0:
                 return Status.Invalid(
                     "tpu matcher needs block_size % 16384 == 0 (lane-tiled rows)")

@@ -301,7 +301,8 @@ class Engine:
                 jnp.asarray(np.ascontiguousarray(staging[s:e, :w])))
 
         try:
-            if cfg.compress_matcher == "tpu" and cfg.codec == Codec.LZ4:
+            if cfg.compress_matcher == "tpu" and cfg.codec in (
+                    Codec.LZ4, Codec.SNAPPY):
                 dl, st = self._compress_tpu_match(raw, manifest, staging)
                 _land(0, n, dl, st)
             else:
@@ -399,10 +400,13 @@ class Engine:
 
         The device scores matches for every byte position; the native host
         emitter verifies/extends the hints and produces the standard LZ4
-        stream (see ops/pallas/lz4_match.py for the search design)."""
+        or Snappy stream (the hints are codec-agnostic; see
+        ops/pallas/lz4_match.py for the search design)."""
         from ..ops.pallas.lz4_match import DEFAULT_OFFSETS, find_matches
 
         cfg = self.config
+        emit = (native.snappy_emit_sequences if cfg.codec == Codec.SNAPPY
+                else native.lz4_emit_sequences)
         offsets = tuple(cfg.match_offsets) or DEFAULT_OFFSETS
         nrows = cfg.block_size // 128
         n = manifest.nblocks
@@ -420,7 +424,7 @@ class Engine:
         for i in range(n):
             o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
             try:
-                comp = native.lz4_emit_sequences(
+                comp = emit(
                     raw[o:o + ln], mlen[i].reshape(-1), oidx[i].reshape(-1),
                     offsets, dst_cap=staging.shape[1])
                 staging[i, :comp.shape[0]] = comp

@@ -49,6 +49,13 @@ int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
                           const int32_t* offsets, int noffsets, uint8_t* dst,
                           int dst_cap);
 
+/* Snappy twin of bt_lz4_emit_sequences: same codec-agnostic hint arrays,
+ * emits a standard Snappy stream (varint preamble + literal/copy tags). */
+int bt_snappy_emit_sequences(const uint8_t* src, int src_len,
+                             const int32_t* mlen, const int32_t* off_idx,
+                             const int32_t* offsets, int noffsets,
+                             uint8_t* dst, int dst_cap);
+
 /* Parse an LZ4 block into a sequence table (SoA). For sequence s:
  *   lit_ptr[s]  byte offset in src of the first literal byte
  *   lit_len[s]  number of literal bytes

@@ -93,6 +93,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.bt_lz4_emit_sequences.restype = ctypes.c_int
     lib.bt_lz4_emit_sequences.argtypes = [u8p, ctypes.c_int, i32p, i32p, i32p,
                                           ctypes.c_int, u8p, ctypes.c_int]
+    lib.bt_snappy_emit_sequences.restype = ctypes.c_int
+    lib.bt_snappy_emit_sequences.argtypes = [u8p, ctypes.c_int, i32p, i32p,
+                                             i32p, ctypes.c_int, u8p,
+                                             ctypes.c_int]
     lib.bt_zstd_parse.restype = ctypes.c_int
     lib.bt_zstd_parse.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                   u8p, ctypes.c_int, i32p,
@@ -112,6 +116,17 @@ def set_split_limit(v: int) -> None:
 def lz4_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,
                        offsets, dst_cap: int | None = None) -> np.ndarray:
     """Emit an LZ4 block from TPU match-kernel hints (verified on emit)."""
+    return _emit_sequences("lz4", data, mlen, off_idx, offsets, dst_cap)
+
+
+def snappy_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,
+                          offsets, dst_cap: int | None = None) -> np.ndarray:
+    """Emit a Snappy block from the same codec-agnostic match hints."""
+    return _emit_sequences("snappy", data, mlen, off_idx, offsets, dst_cap)
+
+
+def _emit_sequences(codec: str, data, mlen, off_idx, offsets,
+                    dst_cap: int | None) -> np.ndarray:
     src = _as_u8(data)
     n = len(src)
     if dst_cap is None:
@@ -120,9 +135,11 @@ def lz4_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,
     mlen = np.ascontiguousarray(mlen[:n], dtype=np.int32)
     off_idx = np.ascontiguousarray(off_idx[:n], dtype=np.int32)
     offs = np.ascontiguousarray(offsets, dtype=np.int32)
-    rc = _check(load().bt_lz4_emit_sequences(
+    fn = (load().bt_lz4_emit_sequences if codec == "lz4"
+          else load().bt_snappy_emit_sequences)
+    rc = _check(fn(
         _u8ptr(src), n, _i32ptr(mlen), _i32ptr(off_idx), _i32ptr(offs),
-        len(offs), _u8ptr(dst), dst_cap), "lz4_emit_sequences")
+        len(offs), _u8ptr(dst), dst_cap), f"{codec}_emit_sequences")
     return dst[:rc]
 
 

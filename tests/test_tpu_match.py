@@ -71,8 +71,53 @@ def test_engine_tpu_matcher_end_to_end(rng):
         eng.recycle(unit)
 
 
+def test_snappy_emitter_roundtrip_and_interop(rng):
+    # The match kernel's hints are codec-agnostic; the Snappy emitter
+    # produces a standard stream (round-trips through our decoder AND a
+    # foreign one).
+    cases = {
+        "rle": b"\x42" * BLOCK,
+        "pat8": b"abcdefgh" * (BLOCK // 8),
+        "random": bytes(rng.integers(0, 256, BLOCK, dtype=np.uint8)),
+    }
+    datas = list(cases.values())
+    ml, oi = run_matcher(datas)
+    for i, (name, d) in enumerate(cases.items()):
+        comp = native.snappy_emit_sequences(
+            d, ml[i].reshape(-1), oi[i].reshape(-1), DEFAULT_OFFSETS)
+        back = native.snappy_decompress(comp, BLOCK + 1)
+        assert back.tobytes() == d, name
+        try:
+            import pyarrow as pa
+            assert pa.decompress(comp.tobytes(), decompressed_size=BLOCK,
+                                 codec="snappy").to_pybytes() == d, name
+        except ImportError:
+            pass
+    rle = native.snappy_emit_sequences(
+        datas[0], ml[0].reshape(-1), oi[0].reshape(-1), DEFAULT_OFFSETS)
+    # Snappy copies cap at 64 bytes (3-byte tag per 64), so RLE tops out
+    # near 64/3 ~ 21x — unlike LZ4's unbounded match lengths.
+    assert BLOCK / len(rle) > 20
+
+
+def test_engine_tpu_matcher_snappy_end_to_end(rng):
+    cfg = bt.EngineConfig(
+        codec=bt.Codec.SNAPPY, block_size=BLOCK, burst_size=4,
+        max_pool_slots=32, use_tpu_kernels=True, interpret=True,
+        compress_matcher="tpu")
+    with bt.Engine(cfg) as eng:
+        data = (b"\x11" * BLOCK
+                + bytes(rng.integers(0, 256, 128, dtype=np.uint8)) * (BLOCK // 128)
+                + bytes(rng.integers(0, 256, BLOCK, dtype=np.uint8)))
+        unit = eng.compress(data)
+        assert unit.manifest.ratio() > 2.0
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
+
+
 def test_config_rejects_bad_matcher_combos():
-    st = bt.EngineConfig(codec=bt.Codec.SNAPPY,
+    st = bt.EngineConfig(codec=bt.Codec.ZSTD,
                          compress_matcher="tpu").validate(bt.capabilities_for_platform("cpu"))
     assert not st.ok() and "LZ4" in st.message
     st = bt.EngineConfig(block_size=1024,
