@@ -808,14 +808,23 @@ class Engine:
         if host_set:
             self._decompress_host_subset(unit, out, np.asarray(
                 sorted(host_set), np.int64), status)
-        for chunk, fut in futures:
-            host = np.asarray(fut)                         # [burst, nrows, 128] u8
-            for j, i in enumerate(chunk):
-                if i in host_set:
-                    continue
-                o, ln = int(m.raw_off[i]), int(m.raw_len[i])
-                out[o:o + ln] = host[j].reshape(-1)[:ln]
-            self.stats.dequeued_blocks += len(chunk)
+        # Out-of-order burst completion (the reference dequeues whichever
+        # ops finish first, device.cc:492-535): readbacks run on a small
+        # pool and each burst's bytes land in ``out`` as it completes, so
+        # one slow burst doesn't serialize the copies behind it.  Output
+        # regions are disjoint, so completion order can't change content.
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            pending = {ex.submit(np.asarray, fut): chunk
+                       for chunk, fut in futures}
+            for done in concurrent.futures.as_completed(pending):
+                chunk = pending[done]
+                host = done.result()               # [burst, nrows, 128] u8
+                for j, i in enumerate(chunk):
+                    if i in host_set:
+                        continue
+                    o, ln = int(m.raw_off[i]), int(m.raw_len[i])
+                    out[o:o + ln] = host[j].reshape(-1)[:ln]
+                self.stats.dequeued_blocks += len(chunk)
         return status
 
     def _decompress_host_subset(self, unit: CompressedUnit, out: np.ndarray,
@@ -838,13 +847,17 @@ class Engine:
     def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray
                         ) -> np.ndarray:
         m = unit.manifest
-        # Join in order (jax dispatch already overlapped the bursts).
-        for start, stop, fut in self._decode_bursts(unit):
-            host = np.asarray(fut)                         # [nb, block_size] u8
-            for i in range(start, stop):
-                o, ln = int(m.raw_off[i]), int(m.raw_len[i])
-                out[o:o + ln] = host[i - start, :ln]
-            self.stats.dequeued_blocks += stop - start
+        # Same out-of-order completion as the planned path.
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            pending = {ex.submit(np.asarray, fut): (start, stop)
+                       for start, stop, fut in self._decode_bursts(unit)}
+            for done in concurrent.futures.as_completed(pending):
+                start, stop = pending[done]
+                host = done.result()                   # [nb, block_size] u8
+                for i in range(start, stop):
+                    o, ln = int(m.raw_off[i]), int(m.raw_len[i])
+                    out[o:o + ln] = host[i - start, :ln]
+                self.stats.dequeued_blocks += stop - start
         return np.zeros(m.nblocks, np.int32)
 
     def _decompress_host(self, unit: CompressedUnit, out: np.ndarray
