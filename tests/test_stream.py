@@ -155,3 +155,40 @@ def test_wait_on_idle_stream(engine):
     assert stream.wait() == 0
     assert not stream.busy()
     stream.close()
+
+
+def test_recycle_reuse_stress_concurrent_streams(rng):
+    # Arena ABA stress: two streams hammer compress -> decompress ->
+    # recycle against ONE engine with a pool tight enough that every
+    # round reuses slots the other stream just returned.  Any stale-slot
+    # aliasing (a unit reading a slot that was recycled and rewritten)
+    # breaks bit-exactness.
+    eng = bt.Engine(small_config(max_pool_slots=48)).initialize()
+    payloads = [
+        bytes(rng.integers(0, 256, 1024 * 18, dtype=np.uint8)),
+        (b"stream stress %d " % 7) * 1200,
+    ]
+    errors: list[str] = []
+    rounds = 12
+
+    def hammer(tag: int) -> None:
+        data = payloads[tag]
+        try:
+            for r in range(rounds):
+                unit = eng.compress(data)
+                out = eng.decompress(unit)
+                if out.tobytes() != data:
+                    errors.append(f"stream {tag} round {r}: mismatch")
+                    return
+                eng.recycle(unit)
+        except bt.StatusError as e:            # pool pressure is a fail too
+            errors.append(f"stream {tag}: {e}")
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert eng.arena.pool.in_use() == 0        # every slot went back
+    eng.release()
