@@ -27,6 +27,7 @@ _ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
+_PLAN_TLS = threading.local()
 
 
 def _needs_rebuild() -> bool:
@@ -330,8 +331,17 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     n = int(src_len.shape[0])
     if nthreads <= 0:
         nthreads = os.cpu_count() or 1
-    se = np.empty((n, max_passes, nrows), np.int16)
-    shift = np.empty((n, max_passes, nrows), np.int32)
+    # The per-block plan scratch ([n, max_passes, nrows] int16+int32,
+    # ~240 MB at 256x160x1024) is reused across calls per thread: fresh
+    # np.empty pages fault-in at first touch, which measured 10x the
+    # planner's own time.  Thread-local so concurrent planners can't
+    # alias; callers compact to the flat wire before the next call.
+    cache = getattr(_PLAN_TLS, "bufs", None)
+    if cache is None or cache[0].shape != (n, max_passes, nrows):
+        cache = (np.empty((n, max_passes, nrows), np.int16),
+                 np.empty((n, max_passes, nrows), np.int32))
+        _PLAN_TLS.bufs = cache
+    se, shift = cache
     p_used = np.zeros(n, np.int32)
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)

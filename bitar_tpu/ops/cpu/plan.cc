@@ -49,25 +49,19 @@ struct Frag {
 class Planner {
  public:
   // Fragment covering output pos (fragments are dense, dst-ordered).
-  // Sources overwhelmingly sit near the end of the built prefix (small
-  // match offsets), so probe the tail linearly before binary search.
+  // A per-row first-fragment index makes the lookup O(frags in the row)
+  // instead of O(log n) — ProjectToComp calls this once per chain link
+  // per piece and dominated plan-build time under gprof.
   int FindIdx(int32_t pos) const {
-    const size_t n = frags_.size();
-    if (n == 0) return -1;
-    for (size_t k = n; k > 0 && k + 8 > n; --k) {
-      const Frag& f = frags_[k - 1];
-      if (f.dst <= pos) {
-        return (f.dst + f.len > pos) ? static_cast<int>(k - 1) : -1;
-      }
-    }
-    size_t lo = 0, hi = n;
-    while (lo < hi) {
-      const size_t mid = (lo + hi) / 2;
-      if (frags_[mid].dst + frags_[mid].len <= pos) lo = mid + 1;
-      else hi = mid;
-    }
-    if (lo >= n || frags_[lo].dst > pos) return -1;
-    return static_cast<int>(lo);
+    if (pos < 0) return -1;
+    const size_t r = static_cast<size_t>(pos) >> 7;
+    if (r >= row_idx_.size()) return -1;
+    int idx = row_idx_[r];
+    if (idx < 0) return -1;
+    const int n = static_cast<int>(frags_.size());
+    while (idx < n && frags_[idx].dst + frags_[idx].len <= pos) ++idx;
+    if (idx >= n || frags_[idx].dst > pos) return -1;
+    return idx;
   }
 
   void Append(int32_t dst, int32_t len, int32_t shift, bool out_space) {
@@ -82,10 +76,12 @@ class Planner {
           b.out_space == (out_space ? 1 : 0) &&
           (!out_space || b.len + len <= -shift)) {
         b.len += len;
+        IndexRows(static_cast<int>(frags_.size()) - 1, dst, len);
         return;
       }
     }
     frags_.push_back({dst, len, shift, static_cast<uint8_t>(out_space), 0});
+    IndexRows(static_cast<int>(frags_.size()) - 1, dst, len);
   }
 
   struct Piece { int32_t comp_src; int32_t len; };
@@ -331,8 +327,19 @@ class Planner {
   const std::vector<int32_t>& cell_pass() const { return cell_pass_; }
 
  private:
+  // Mark ``idx`` as the first fragment of every row [dst, dst+len)
+  // touches that has no earlier fragment (append order = dst order).
+  void IndexRows(int idx, int32_t dst, int32_t len) {
+    const size_t r1 = static_cast<size_t>(dst + len - 1) >> 7;
+    if (r1 >= row_idx_.size()) row_idx_.resize(r1 + 1, -1);
+    for (size_t r = static_cast<size_t>(dst) >> 7; r <= r1; ++r) {
+      if (row_idx_[r] < 0) row_idx_[r] = idx;
+    }
+  }
+
   std::vector<Frag> frags_;
   std::vector<int32_t> cell_pass_;
+  std::vector<int32_t> row_idx_;
 };
 
 }  // namespace
