@@ -335,9 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="block count for --mode skewed")
     p.add_argument("--output", default=None,
                    help="output path for compress/decompress modes")
-    p.add_argument("--matcher", choices=["host", "tpu"], default="host",
-                   help="LZ4 match finding: host hash matcher or the "
-                        "Pallas candidate-offset kernel")
+    p.add_argument("--matcher", choices=["host", "tpu", "tpu-sort"],
+                   default="host",
+                   help="match finding: host hash matcher, the Pallas "
+                        "candidate-offset kernel, or the device value-sort "
+                        "(exact greedy, arbitrary offsets)")
     p.add_argument("--codec", choices=[c.value for c in Codec], default="lz4")
     p.add_argument("--block-size", type=int, default=128 * 1024)
     p.add_argument("--burst-size", type=int, default=32)

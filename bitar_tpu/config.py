@@ -179,9 +179,12 @@ class EngineConfig:
     pipeline_depth: int = 2             # double-buffered HBM->VMEM staging depth
     use_tpu_kernels: bool = True        # False -> host (native C++) codec path
     interpret: bool = False             # run Pallas kernels in interpreter mode
-    compress_matcher: str = "host"      # "host" (hash matcher, quality) or
+    compress_matcher: str = "host"      # "host" (hash matcher, quality),
                                         # "tpu" (Pallas candidate-offset
-                                        # matcher; LZ4, 16KiB-aligned blocks)
+                                        # matcher), or "tpu-sort"
+                                        # (device value-sort, exact greedy
+                                        # at any offset); tpu* need
+                                        # LZ4/Snappy + 16KiB-aligned blocks
     match_offsets: tuple[int, ...] = () # () -> kernel default candidate set
 
     # ------------------------------------------------------------------
@@ -235,10 +238,11 @@ class EngineConfig:
             return Status.Invalid(f"window_log {self.window_log} outside [8, 27]")
         if self.level < 0 or self.level > 22:
             return Status.Invalid(f"level {self.level} outside [0, 22]")
-        if self.compress_matcher not in ("host", "tpu"):
+        if self.compress_matcher not in ("host", "tpu", "tpu-sort"):
             return Status.Invalid(
-                f"compress_matcher {self.compress_matcher!r} not in (host, tpu)")
-        if self.compress_matcher == "tpu":
+                f"compress_matcher {self.compress_matcher!r} not in "
+                f"(host, tpu, tpu-sort)")
+        if self.compress_matcher in ("tpu", "tpu-sort"):
             if self.codec not in (Codec.LZ4, Codec.SNAPPY):
                 return Status.Invalid("tpu matcher supports LZ4 and Snappy")
             if self.block_size % (128 * 128) != 0:

@@ -301,7 +301,7 @@ class Engine:
                 jnp.asarray(np.ascontiguousarray(staging[s:e, :w])))
 
         try:
-            if cfg.compress_matcher == "tpu" and cfg.codec in (
+            if cfg.compress_matcher in ("tpu", "tpu-sort") and cfg.codec in (
                     Codec.LZ4, Codec.SNAPPY):
                 dl, st = self._compress_tpu_match(raw, manifest, staging)
                 _land(0, n, dl, st)
@@ -414,11 +414,22 @@ class Engine:
         for i in range(n):
             o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
             planes[i].reshape(-1)[:ln] = raw[o:o + ln]
-        mlen, oidx = find_matches(
-            jnp.asarray(planes), offsets=offsets, nrows=nrows,
-            interpret=cfg.interpret)
-        mlen = np.asarray(mlen)
-        oidx = np.asarray(oidx)
+        if cfg.compress_matcher == "tpu-sort":
+            # Arbitrary-offset exact-greedy hints via device value sort
+            # (lz4_match_sort.py); direct-offset emission.
+            from ..ops.pallas.lz4_match_sort import find_matches_sorted
+            off = np.asarray(find_matches_sorted(
+                jnp.asarray(planes.reshape(n, -1)),
+                length=cfg.block_size))
+            oidx = off
+            mlen = np.where(off > 0, 4, 0).astype(np.int32)
+            offsets = None
+        else:
+            mlen, oidx = find_matches(
+                jnp.asarray(planes), offsets=offsets, nrows=nrows,
+                interpret=cfg.interpret)
+            mlen = np.asarray(mlen)
+            oidx = np.asarray(oidx)
         dst_len = np.zeros(n, np.int32)
         status = np.zeros(n, np.int32)
         for i in range(n):

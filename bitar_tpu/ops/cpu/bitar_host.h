@@ -42,8 +42,10 @@ int bt_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap
 
 /* Greedy LZ4 emission from accelerator match hints: mlen/off_idx are
  * per-position arrays (src_len entries) from the TPU match kernel;
- * off_idx indexes into `offsets`.  Hints are verified and extended before
- * emission.  Returns compressed length or negative code. */
+ * off_idx indexes into `offsets`, or, when offsets == NULL (direct
+ * mode, arbitrary-offset matchers), off_idx[i] IS the offset itself.
+ * Hints are verified and extended before emission.  Returns compressed
+ * length or negative code. */
 int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
                           const int32_t* mlen, const int32_t* off_idx,
                           const int32_t* offsets, int noffsets, uint8_t* dst,

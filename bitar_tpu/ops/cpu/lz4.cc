@@ -140,8 +140,11 @@ extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
   // re-verified and extended by direct comparison, so kernel edge effects
   // (padding runs, roll wrap-around) can never corrupt the stream, and
   // matches longer than the kernel's cap are fully captured.
+  // Direct-offset mode: offsets == NULL means off_idx[i] IS the match
+  // offset for position i (arbitrary-offset device matchers emit
+  // per-position offsets, not indices into a candidate table).
   if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
-      dst == nullptr || noffsets <= 0) {
+      dst == nullptr || (offsets != nullptr && noffsets <= 0)) {
     return BT_ERR_INVALID;
   }
   const int mflimit = src_len - kMfLimitDist;
@@ -153,8 +156,8 @@ extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
     const int32_t hint = mlen[i];
     if (hint >= kMinMatch) {
       const int32_t idx = off_idx[i];
-      if (idx >= 0 && idx < noffsets) {
-        const int32_t off = offsets[idx];
+      if (offsets == nullptr || (idx >= 0 && idx < noffsets)) {
+        const int32_t off = offsets == nullptr ? idx : offsets[idx];
         if (off >= 1 && off <= i && off <= 65535) {
           int ml = 0;
           while (i + ml < matchlimit && src[i + ml] == src[i - off + ml]) ++ml;

@@ -128,6 +128,8 @@ def snappy_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,
 
 def _emit_sequences(codec: str, data, mlen, off_idx, offsets,
                     dst_cap: int | None) -> np.ndarray:
+    """``offsets=None`` selects direct mode: off_idx[i] IS the offset
+    (arbitrary-offset matchers); otherwise off_idx indexes offsets."""
     src = _as_u8(data)
     n = len(src)
     if dst_cap is None:
@@ -135,12 +137,16 @@ def _emit_sequences(codec: str, data, mlen, off_idx, offsets,
     dst = np.empty(dst_cap, dtype=np.uint8)
     mlen = np.ascontiguousarray(mlen[:n], dtype=np.int32)
     off_idx = np.ascontiguousarray(off_idx[:n], dtype=np.int32)
-    offs = np.ascontiguousarray(offsets, dtype=np.int32)
+    if offsets is None:
+        offs_ptr, noffs = None, 0
+    else:
+        offs = np.ascontiguousarray(offsets, dtype=np.int32)
+        offs_ptr, noffs = _i32ptr(offs), len(offs)
     fn = (load().bt_lz4_emit_sequences if codec == "lz4"
           else load().bt_snappy_emit_sequences)
     rc = _check(fn(
-        _u8ptr(src), n, _i32ptr(mlen), _i32ptr(off_idx), _i32ptr(offs),
-        len(offs), _u8ptr(dst), dst_cap), f"{codec}_emit_sequences")
+        _u8ptr(src), n, _i32ptr(mlen), _i32ptr(off_idx), offs_ptr,
+        noffs, _u8ptr(dst), dst_cap), f"{codec}_emit_sequences")
     return dst[:rc]
 
 

@@ -140,8 +140,10 @@ extern "C" int bt_snappy_emit_sequences(const uint8_t* src, int src_len,
   // direct comparison, so kernel edge effects can never corrupt the
   // stream.  Reference analog: accelerator-offloaded compression,
   // src/device.cc:157-238.
+  // Direct-offset mode as in bt_lz4_emit_sequences: offsets == NULL
+  // means off_idx[i] IS the match offset for position i.
   if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
-      dst == nullptr || noffsets <= 0) {
+      dst == nullptr || (offsets != nullptr && noffsets <= 0)) {
     return BT_ERR_INVALID;
   }
   int d = WriteVarint(dst, dst_cap, 0, static_cast<uint32_t>(src_len));
@@ -153,8 +155,8 @@ extern "C" int bt_snappy_emit_sequences(const uint8_t* src, int src_len,
     const int32_t hint = mlen[i];
     if (hint >= 4) {
       const int32_t idx = off_idx[i];
-      if (idx >= 0 && idx < noffsets) {
-        const int32_t off = offsets[idx];
+      if (offsets == nullptr || (idx >= 0 && idx < noffsets)) {
+        const int32_t off = offsets == nullptr ? idx : offsets[idx];
         if (off >= 1 && off <= i && off <= 65535) {
           int ml = 0;
           while (i + ml < src_len && src[i + ml] == src[i - off + ml]) ++ml;

@@ -126,3 +126,52 @@ def test_config_rejects_bad_matcher_combos():
     with pytest.raises(Exception):
         bt.EngineConfig(compress_matcher="gpu").validate(
             bt.capabilities_for_platform("cpu")).raise_if_error()
+
+
+def test_sort_matcher_arbitrary_offsets(rng):
+    # The sort matcher finds matches at offsets the candidate table
+    # doesn't contain (e.g. a 777-byte period), and its hints are the
+    # most-recent previous occurrence (minimal offset).
+    from bitar_tpu.ops.pallas.lz4_match_sort import find_matches_sorted
+
+    period = 777                         # not in DEFAULT_OFFSETS
+    base = bytes(rng.integers(0, 256, period, dtype=np.uint8))
+    data = (base * (BLOCK // period + 1))[:BLOCK]
+    plane = np.zeros((1, BLOCK), np.uint8)
+    plane[0] = np.frombuffer(data, np.uint8)
+    off = np.asarray(find_matches_sorted(plane, length=BLOCK))[0]
+    assert (off[period:] == period).mean() > 0.95   # near-everywhere hits
+    mlen = np.where(off > 0, 4, 0).astype(np.int32)
+    comp = native.lz4_emit_sequences(data, mlen, off.astype(np.int32), None)
+    assert native.lz4_decompress(comp, BLOCK + 1).tobytes() == data
+    # Ceiling is BLOCK/period ~ 21 (the first period is incompressible);
+    # the candidate-offset matcher gets ~1.0 on this data.
+    assert BLOCK / len(comp) > 15
+
+    # Host-matcher parity on text: exact greedy should land within a few
+    # percent of the host hash matcher's ratio.
+    text = (b"the quick brown fox jumps over the lazy dog %d " * 400)
+    text = (text % tuple(range(400)))[:BLOCK]
+    plane[0] = np.frombuffer(text, np.uint8)
+    off = np.asarray(find_matches_sorted(plane, length=BLOCK))[0]
+    mlen = np.where(off > 0, 4, 0).astype(np.int32)
+    comp = native.lz4_emit_sequences(text, mlen, off.astype(np.int32), None)
+    assert native.lz4_decompress(comp, BLOCK + 1).tobytes() == text
+    host = native.lz4_compress(text)
+    assert len(comp) <= len(host) * 1.1
+
+
+def test_engine_sort_matcher_end_to_end(rng):
+    cfg = bt.EngineConfig(
+        codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=4,
+        max_pool_slots=32, use_tpu_kernels=True, interpret=True,
+        compress_matcher="tpu-sort")
+    with bt.Engine(cfg) as eng:
+        data = (b"\x11" * BLOCK
+                + bytes(rng.integers(0, 256, 333, dtype=np.uint8))
+                  * (BLOCK // 333 + 1))[:2 * BLOCK]
+        unit = eng.compress(data)
+        assert unit.manifest.ratio() > 5.0
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
