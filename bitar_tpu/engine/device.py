@@ -57,6 +57,7 @@ from ..ops.pallas.lz4_decode_flat import (
     bands_supported,
     bias_planes,
     compute_bands,
+    concat_flat_plans,
     decode_blocks_flat,
     flatten_batch_plans,
 )
@@ -449,6 +450,7 @@ class Engine:
     # measured zstd decompress 0.09 -> 1.44 GB/s.  Cost is host plan
     # scratch only (the flat wire carries just p_used rows).
     _PLAN_MAX_PASSES = 160
+    _PLAN_CHUNK_BLOCKS = 256   # bounds native plan scratch (~250 MB/chunk)
 
     def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):
         """Build scheduled decode plans (the fast TPU path) per block.
@@ -483,35 +485,50 @@ class Engine:
         # size), so static bands are the large-block default.
         band_rows = KBAND if (nrows % min(KBAND, nrows) == 0
                               and nrows > 1024) else 0
-        se, shift, p_used, p0, status, lit_used = native.plan_batch_flat(
-            staging.reshape(-1),
-            np.arange(n, dtype=np.int64) * slot,
-            manifest.comp_len, manifest.raw_len, manifest.codec_ids,
-            nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
-            lit_out=lit_out, lit_stride=cfg.block_size, band_rows=band_rows)
-        ok = status == 0
+
+        # Plan in bounded chunks: the native scratch scales with
+        # n x max_passes x nrows (8 GB at 8192 blocks / 160 passes), so
+        # huge units plan 256 blocks at a time and the flat wires merge
+        # pad-free (concat_flat_plans).  Unplannable/malformed blocks
+        # keep p_used == 0 (the kernel skips them) and decode per block
+        # on the host path — no whole-unit fallback (reference decodes
+        # each op independently, device.cc:512-520).
+        chunk = self._PLAN_CHUNK_BLOCKS
+
+        def plan_all(brows: int):
+            parts, oks, lus = [], [], []
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
+                         if lit_out is not None else None)
+                se, shift, pu, p0c, st, lu = native.plan_batch_flat(
+                    staging[s:e].reshape(-1),
+                    np.arange(e - s, dtype=np.int64) * slot,
+                    manifest.comp_len[s:e], manifest.raw_len[s:e],
+                    manifest.codec_ids[s:e],
+                    nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
+                    lit_out=lit_i, lit_stride=cfg.block_size,
+                    band_rows=brows)
+                okc = st == 0
+                pu[~okc] = 0
+                p0c[~okc] = 0
+                parts.append(flatten_batch_plans(se, shift, pu, p0c, nrows))
+                oks.append(okc)
+                lus.append(lu)
+            return parts, np.concatenate(oks), np.concatenate(lus)
+
+        parts, ok, lit_used = plan_all(band_rows)
         if band_rows and not ok.all():
             # Some block only fails under the band constraint: re-plan
             # unbanded so banding (an optimization) never shrinks device
             # coverage; genuinely-unplannable blocks fail again and take
-            # the per-block host path as before.
+            # the per-block host path as before.  Whole-unit retry keeps
+            # banding uniform (the kernel's band promise is per launch).
             band_rows = 0
-            se, shift, p_used, p0, status, lit_used = native.plan_batch_flat(
-                staging.reshape(-1),
-                np.arange(n, dtype=np.int64) * slot,
-                manifest.comp_len, manifest.raw_len, manifest.codec_ids,
-                nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
-                lit_out=lit_out, lit_stride=cfg.block_size)
-            ok = status == 0
+            parts, ok, lit_used = plan_all(0)
         if not ok.any():
             return None               # nothing plannable: fallback paths
-        # Unplannable/malformed blocks keep p_used == 0 (the kernel skips
-        # them) and decode per block on the host path — no whole-unit
-        # fallback (reference decodes each op independently,
-        # device.cc:512-520).
-        p_used[~ok] = 0
-        p0[~ok] = 0
-        plans = flatten_batch_plans(se, shift, p_used, p0, nrows)
+        plans = concat_flat_plans(parts)
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).

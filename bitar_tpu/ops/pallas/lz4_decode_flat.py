@@ -509,6 +509,35 @@ def flatten_batch_plans(se, shift, p_used, p0, nrows):
             "se": se_flat, "shift": sh_flat}
 
 
+def concat_flat_plans(parts: list[dict]) -> dict:
+    """Merge per-chunk ``flatten_batch_plans`` outputs into one wire.
+
+    Each part's slack/quantization padding is stripped (only its
+    ``p_used.sum()`` true rows are kept); the merged wire re-adds one
+    DCHUNK slack and one quantization.  Lets callers plan huge units in
+    bounded-scratch chunks without per-chunk wire waste.
+    """
+    if len(parts) == 1:
+        return parts[0]
+    p_used = np.concatenate([p["p_used"] for p in parts])
+    p0 = np.concatenate([p["p0"] for p in parts])
+    sizes = [int(p["p_used"].sum()) for p in parts]
+    S = sum(sizes)
+    S_pad = -(-(S + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+    tiles = parts[0]["se"].shape[1]
+    se = np.zeros((S_pad, tiles, LANES), np.int16)
+    sh = np.zeros((S_pad, tiles, LANES), np.int32)
+    offs = []
+    o = 0
+    for p, sz in zip(parts, sizes):
+        se[o:o + sz] = p["se"][:sz]
+        sh[o:o + sz] = p["shift"][:sz]
+        offs.append(p["p_off"].astype(np.int64) + o)
+        o += sz
+    return {"p_used": p_used, "p_off": np.concatenate(offs).astype(np.int32),
+            "p0": p0, "se": se, "shift": sh}
+
+
 def build_flat_plans(per_block, comp_rows, nrows):
     """Assemble per-block planner outputs into the kernel's wire arrays.
 

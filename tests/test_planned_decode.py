@@ -315,3 +315,29 @@ def test_decompress_device_planned(rng):
                        for i in range(unit.nblocks))
         assert got == data
         eng.recycle(unit)
+
+
+def test_chunked_plan_build_matches_single(rng, monkeypatch):
+    # Huge units plan in bounded chunks; the merged flat wire must decode
+    # identically to single-call planning.
+    import bitar_tpu as bt
+    from bitar_tpu.engine.device import Engine
+
+    data = b"".join([
+        (b"chunked planning %d " % i) * (BLOCK // 19 + 1)
+        for i in range(10)])[:10 * BLOCK]
+    cfg = bt.EngineConfig(codec=bt.Codec.LZ4, block_size=BLOCK, burst_size=8,
+                          max_pool_slots=32, use_tpu_kernels=True,
+                          interpret=True)
+    monkeypatch.setattr(Engine, "_PLAN_CHUNK_BLOCKS", 3)   # force 4 chunks
+    with bt.Engine(cfg) as eng:
+        unit = eng.compress(data)
+        eng.ensure_plans(unit)
+        plans = unit.plan_flat
+        assert plans is not None and plans["p_used"].shape[0] == 10
+        # p_off strictly increasing and consistent with p_used prefix sums
+        off = plans["p_off"]
+        assert (np.diff(off) == plans["p_used"][:-1]).all()
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
