@@ -11,6 +11,9 @@ namespace {
 
 constexpr int kHashLog = 14;
 constexpr int kHashSize = 1 << kHashLog;
+// Miss-skip acceleration (see lz4.cc): scan step grows after 2^6
+// consecutive hash misses so incompressible input stays near memcpy speed.
+constexpr int kSkipTrigger = 6;
 
 inline uint32_t Read32(const uint8_t* p) {
   uint32_t v;
@@ -97,15 +100,17 @@ extern "C" int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst,
   int i = 0;
   int anchor = 0;
   const int limit = src_len - 4;  // last position where a 4-byte match fits
+  int misses = 0;
   while (i <= limit) {
     const uint32_t seq = Read32(src + i);
     const uint32_t h = Hash4(seq);
     const int cand = table[h];
     table[h] = i;
     if (cand < 0 || (i - cand) > 65535 || Read32(src + cand) != seq) {
-      ++i;
+      i += 1 + (misses++ >> kSkipTrigger);
       continue;
     }
+    misses = 0;
     int mlen = 4;
     while (i + mlen < src_len && src[cand + mlen] == src[i + mlen]) ++mlen;
     const int offset = i - cand;
