@@ -53,13 +53,14 @@ from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
 from ..ops.pallas.lz4_decode_flat import (
     CB as FLAT_CB,
+    DCHUNK,
     KBAND,
+    LANES,
+    _S_QUANTUM,
     bands_supported,
     bias_planes,
     compute_bands,
-    concat_flat_plans,
     decode_blocks_flat,
-    flatten_batch_plans,
 )
 from ..status import Status, StatusError
 from ..utils.logging import get_logger
@@ -486,22 +487,25 @@ class Engine:
         band_rows = KBAND if (nrows % min(KBAND, nrows) == 0
                               and nrows > 1024) else 0
 
-        # Plan in bounded chunks: the native scratch scales with
-        # n x max_passes x nrows (8 GB at 8192 blocks / 160 passes), so
-        # huge units plan 256 blocks at a time and the flat wires merge
-        # pad-free (concat_flat_plans).  Unplannable/malformed blocks
-        # keep p_used == 0 (the kernel skips them) and decode per block
-        # on the host path — no whole-unit fallback (reference decodes
-        # each op independently, device.cc:512-520).
+        # Two-phase compact planning: phase 1 plans every block into
+        # per-block native buffers (memory scales with the ACTUAL plan,
+        # not n x max_passes x nrows — a dense scratch measured 10x the
+        # planner's own time in page faults at 256-block units); phase 2
+        # packs straight into the final flat wire once the pass-offset
+        # cumsum is known.  Chunking bounds the worst-case transient
+        # (every block at the full pass budget).  Unplannable/malformed
+        # blocks keep p_used == 0 (the kernel skips them) and decode per
+        # block on the host path — no whole-unit fallback (reference
+        # decodes each op independently, device.cc:512-520).
         chunk = self._PLAN_CHUNK_BLOCKS
 
         def plan_all(brows: int):
-            parts, oks, lus = [], [], []
+            ctxs, pus, p0s, oks, lus = [], [], [], [], []
             for s in range(0, n, chunk):
                 e = min(n, s + chunk)
                 lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
                          if lit_out is not None else None)
-                se, shift, pu, p0c, st, lu = native.plan_batch_flat(
+                ctx, pu, p0c, st, lu = native.plan_batch_begin(
                     staging[s:e].reshape(-1),
                     np.arange(e - s, dtype=np.int64) * slot,
                     manifest.comp_len[s:e], manifest.raw_len[s:e],
@@ -512,23 +516,47 @@ class Engine:
                 okc = st == 0
                 pu[~okc] = 0
                 p0c[~okc] = 0
-                parts.append(flatten_batch_plans(se, shift, pu, p0c, nrows))
+                ctxs.append((ctx, s, e))
+                pus.append(pu)
+                p0s.append(p0c)
                 oks.append(okc)
                 lus.append(lu)
-            return parts, np.concatenate(oks), np.concatenate(lus)
+            return (ctxs, np.concatenate(pus), np.concatenate(p0s),
+                    np.concatenate(oks), np.concatenate(lus))
 
-        parts, ok, lit_used = plan_all(band_rows)
+        def abort_all(ctxs):
+            for ctx, _, _ in ctxs:
+                native.plan_batch_abort(ctx)
+
+        ctxs, p_used, p0, ok, lit_used = plan_all(band_rows)
         if band_rows and not ok.all():
             # Some block only fails under the band constraint: re-plan
             # unbanded so banding (an optimization) never shrinks device
             # coverage; genuinely-unplannable blocks fail again and take
             # the per-block host path as before.  Whole-unit retry keeps
             # banding uniform (the kernel's band promise is per launch).
+            abort_all(ctxs)
             band_rows = 0
-            parts, ok, lit_used = plan_all(0)
+            ctxs, p_used, p0, ok, lit_used = plan_all(0)
         if not ok.any():
+            abort_all(ctxs)
             return None               # nothing plannable: fallback paths
-        plans = concat_flat_plans(parts)
+
+        # Assemble the flat wire: S quantized so the kernel shape (and
+        # its Mosaic compile) is shared across units; DCHUNK slack rows
+        # let the kernel's chunked plan DMA read past the last pass.
+        p_off = np.zeros(n, np.int64)
+        p_off[1:] = np.cumsum(p_used[:-1].astype(np.int64))
+        S = int(p_used.astype(np.int64).sum())
+        s_pad = -(-(S + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+        tiles = nrows // LANES
+        se = np.zeros((s_pad, tiles, LANES), np.int16)
+        sh = np.zeros((s_pad, tiles, LANES), np.int32)
+        for ctx, s, e in ctxs:
+            native.plan_batch_pack(ctx, p_off[s:e], se, sh)
+        plans = {"p_used": p_used.astype(np.int32),
+                 "p_off": p_off.astype(np.int32),
+                 "p0": p0.astype(np.int32), "se": se, "shift": sh}
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).

@@ -154,6 +154,23 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int32_t* p_used, int32_t* p0, int32_t* status,
                    uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used);
 
+/* Two-phase variant: plan with compact per-block buffers (memory scales
+ * with the actual plan, not nblocks*max_passes), then pack each block's
+ * p_used[i] pass rows at pass-row offset p_off[i] of the caller's flat
+ * wire once the offsets (cumsum of p_used) are known.  _pack frees the
+ * context; _abort frees it without packing. */
+void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
+                          int nblocks, const uint8_t* src,
+                          const int64_t* src_off, const int32_t* src_len,
+                          const int32_t* out_len, int nrows, int max_passes,
+                          int split_limit, int cb, int band_rows,
+                          int band_tile, int32_t* p_used, int32_t* p0,
+                          int32_t* status, uint8_t* lit_out,
+                          int64_t lit_stride, int32_t* lit_used);
+void bt_plan_batch_pack(void* ctx, int nthreads, const int64_t* p_off,
+                        int16_t* se, int32_t* shift);
+void bt_plan_batch_abort(void* ctx);
+
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);
 

@@ -23,7 +23,7 @@ _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -86,6 +86,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int,
         i16p, i32p, i32p, i32p, i32p,
         u8p, ctypes.c_int64, i32p]
+    lib.bt_plan_batch_begin.restype = ctypes.c_void_p
+    lib.bt_plan_batch_begin.argtypes = [
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, i64p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        i32p, i32p, i32p,
+        u8p, ctypes.c_int64, i32p]
+    lib.bt_plan_batch_pack.restype = None
+    lib.bt_plan_batch_pack.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, i64p, i16p, i32p]
+    lib.bt_plan_batch_abort.restype = None
+    lib.bt_plan_batch_abort.argtypes = [ctypes.c_void_p]
     lib.bt_plan_rows.restype = ctypes.c_int
     lib.bt_plan_rows.argtypes = [ctypes.c_int] + [i32p] * 5 + \
         [ctypes.c_int] * 3 + [i32p] * 5
@@ -364,6 +377,60 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
         _u8ptr(lit_out) if lit_out is not None else None,
         lit_stride, _i32ptr(lit_used))
     return se, shift, p_used, p0, status, lit_used
+
+
+def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
+                     src_len: np.ndarray, out_len: np.ndarray,
+                     codec_ids: np.ndarray, nrows: int, max_passes: int,
+                     cb: int, split_limit: int = 8, nthreads: int = 0,
+                     lit_out: np.ndarray | None = None, lit_stride: int = 0,
+                     band_rows: int = 0, band_tile: int = 0):
+    """Phase 1 of the compact two-phase planner.
+
+    Plans every block in parallel into per-block compact buffers held by
+    a native context (memory scales with the actual plan, not
+    n x max_passes — the dense scratch of :func:`plan_batch_flat`
+    measured 10x the planner's own time in page faults at 256-block
+    batches).  Returns (ctx, p_used, p0, status, lit_used); pass ctx to
+    :func:`plan_batch_pack` once pass offsets are known, or
+    :func:`plan_batch_abort` to discard.  Other args as
+    :func:`plan_batch_flat`.
+    """
+    n = int(src_len.shape[0])
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    p_used = np.zeros(n, np.int32)
+    p0 = np.zeros(n, np.int32)
+    status = np.zeros(n, np.int32)
+    lit_used = np.zeros(n, np.int32)
+    ctx = load().bt_plan_batch_begin(
+        0, _i32ptr(np.ascontiguousarray(codec_ids, np.int32)), nthreads, n,
+        _u8ptr(src), _i64ptr(np.ascontiguousarray(src_off, np.int64)),
+        _i32ptr(np.ascontiguousarray(src_len, np.int32)),
+        _i32ptr(np.ascontiguousarray(out_len, np.int32)),
+        nrows, max_passes, split_limit, cb, band_rows, band_tile,
+        _i32ptr(p_used), _i32ptr(p0), _i32ptr(status),
+        _u8ptr(lit_out) if lit_out is not None else None,
+        lit_stride, _i32ptr(lit_used))
+    return ctx, p_used, p0, status, lit_used
+
+
+def plan_batch_pack(ctx, p_off: np.ndarray, se: np.ndarray,
+                    shift: np.ndarray, nthreads: int = 0) -> None:
+    """Phase 2: copy each block's plan rows to pass-row offset
+    ``p_off[i]`` of the flat wire ``se``/``shift`` (whose trailing dims
+    flatten to nrows cells per pass row) and free the context."""
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    load().bt_plan_batch_pack(
+        ctx, nthreads, _i64ptr(np.ascontiguousarray(p_off, np.int64)),
+        se.ctypes.data_as(i16p), _i32ptr(shift))
+
+
+def plan_batch_abort(ctx) -> None:
+    """Free a :func:`plan_batch_begin` context without packing."""
+    load().bt_plan_batch_abort(ctx)
 
 
 def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,

@@ -31,6 +31,8 @@
 #include <algorithm>
 #include <atomic>
 #include <cstring>
+#include <functional>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -451,13 +453,18 @@ namespace {
 // intermediate of bt_plan_rows.  Comp passes land in [0, p0_pad), out
 // passes in [p0_pad, total_pad), both padded to `cb` multiples with empty
 // (zero) passes so the kernel's batched phase loops stay branch-free.
+// The plan lands in se_v/shift_v, sized to exactly total_pad * nrows
+// cells — memory scales with the ACTUAL plan, not the pass budget
+// (a dense [max_passes, nrows] scratch per block measured 10x the
+// planner's own time in page faults alone at 256-block batches).
 // Returns BT_OK and fills p_used/p0 (padded counts), or a negative code
 // (BT_ERR_CAPACITY -> caller falls back to the sequence-walk kernel).
 int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
                 int nrows, int max_passes, int split_limit, int cb,
-                int band_rows, int band_tile, int16_t* se, int32_t* shift,
-                int32_t* p_used_out, int32_t* p0_out, uint8_t* lit_out,
-                int lit_cap, int32_t* lit_used_out) {
+                int band_rows, int band_tile, std::vector<int16_t>* se_v,
+                std::vector<int32_t>* shift_v, int32_t* p_used_out,
+                int32_t* p0_out, uint8_t* lit_out, int lit_cap,
+                int32_t* lit_used_out) {
   if (out_len < 0 || static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
     return BT_ERR_INVALID;
   }
@@ -474,8 +481,9 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
     const int npass = (std::min(rows_used, tile) + kb - 1) / kb;
     const int total = std::max(cb, pad(npass));
     if (total > max_passes) return BT_ERR_CAPACITY;
-    std::memset(se, 0, sizeof(int16_t) * static_cast<size_t>(total) * nrows);
-    std::memset(shift, 0, sizeof(int32_t) * static_cast<size_t>(total) * nrows);
+    se_v->assign(static_cast<size_t>(total) * nrows, 0);
+    shift_v->assign(static_cast<size_t>(total) * nrows, 0);
+    int16_t* se = se_v->data();
     for (int r = 0; r < rows_used; ++r) {
       const int end = std::min(128, out_len - r * 128);
       const int pass = (r % tile) / kb;
@@ -547,9 +555,10 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   const int p0_pad = std::max(cb, pad(p0));
   const int total_pad = p0_pad + pad(total - p0);
   if (total_pad > max_passes) return BT_ERR_CAPACITY;
-  std::memset(se, 0, sizeof(int16_t) * static_cast<size_t>(total_pad) * nrows);
-  std::memset(shift, 0,
-              sizeof(int32_t) * static_cast<size_t>(total_pad) * nrows);
+  se_v->assign(static_cast<size_t>(total_pad) * nrows, 0);
+  shift_v->assign(static_cast<size_t>(total_pad) * nrows, 0);
+  int16_t* se = se_v->data();
+  int32_t* shift = shift_v->data();
 
   for (const Frag& f : planner.frags()) {
     const int r0 = f.dst / 128;
@@ -569,64 +578,27 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   return BT_OK;
 }
 
-}  // namespace
+// Per-batch plan context: block i's compact plan rows (exactly
+// p_used[i] * nrows cells each) between the plan and pack phases.
+struct BtPlanCtx {
+  int nrows = 0;
+  std::vector<std::vector<int16_t>> se;
+  std::vector<std::vector<int32_t>> shift;
+};
 
-extern "C" {
-
-// Batched, multithreaded parse+plan+pack into the flat kernel wire.
-//
-// Block i writes its plan rows at offset i*max_passes in se/shift (each
-// row is nrows cells); p_used[i]/p0[i] receive the cb-padded pass counts
-// and status[i] the per-block outcome (BT_ERR_CAPACITY = unplannable,
-// fall back; other negatives = malformed input).  Blocks whose first
-// attempt at `split_limit` exceeds the budget retry once at limit 2
-// (deep-chain data plans smaller with less comp-space resolution).
-void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
-                   int nblocks, const uint8_t* src, const int64_t* src_off,
-                   const int32_t* src_len, const int32_t* out_len, int nrows,
-                   int max_passes, int split_limit, int cb, int band_rows,
-                   int band_tile, int16_t* se, int32_t* shift,
-                   int32_t* p_used, int32_t* p0, int32_t* status,
-                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used) {
-  if (nblocks <= 0) return;
+void RunWorkers(int nthreads, int nblocks, const std::function<void(int)>& fn) {
   if (nthreads < 1) nthreads = 1;
   const unsigned hw = std::thread::hardware_concurrency();
   if (hw > 0 && nthreads > static_cast<int>(hw)) nthreads = static_cast<int>(hw);
   if (nthreads > nblocks) nthreads = nblocks;
-
   std::atomic<int> next{0};
   auto worker = [&]() {
     for (;;) {
       const int i = next.fetch_add(1, std::memory_order_relaxed);
       if (i >= nblocks) return;
-      const int c = codec_ids != nullptr ? codec_ids[i] : codec;
-      const size_t base = static_cast<size_t>(i) * max_passes * nrows;
-      uint8_t* lit_i =
-          lit_out != nullptr ? lit_out + static_cast<int64_t>(i) * lit_stride
-                             : nullptr;
-      const int lit_cap_i = lit_out != nullptr ? static_cast<int>(lit_stride) : 0;
-      if (lit_used != nullptr) lit_used[i] = 0;
-      int32_t* lit_used_i = lit_used != nullptr ? lit_used + i : nullptr;
-      int32_t lit_scratch = 0;
-      if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
-      int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
-                           max_passes, split_limit, cb, band_rows, band_tile,
-                           se + base, shift + base, p_used + i, p0 + i, lit_i,
-                           lit_cap_i, lit_used_i);
-      if (rc == BT_ERR_CAPACITY && split_limit != 2) {
-        rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
-                         max_passes, /*split_limit=*/2, cb, band_rows,
-                         band_tile, se + base, shift + base, p_used + i,
-                         p0 + i, lit_i, lit_cap_i, lit_used_i);
-      }
-      status[i] = rc;
-      if (rc != BT_OK) {
-        p_used[i] = 0;
-        p0[i] = 0;
-      }
+      fn(i);
     }
   };
-
   if (nthreads == 1) {
     worker();
     return;
@@ -635,6 +607,114 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
   threads.reserve(static_cast<size_t>(nthreads));
   for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Phase 1 of the batched flat-wire planner: parse + fragment build +
+// schedule every block in parallel, holding each block's plan rows in a
+// compact per-block buffer (exactly p_used[i] passes — memory scales
+// with the real plan, not nblocks x max_passes).  p_used[i]/p0[i]
+// receive the cb-padded pass counts and status[i] the per-block outcome
+// (BT_ERR_CAPACITY = unplannable, fall back; other negatives =
+// malformed input).  Blocks whose first attempt at `split_limit`
+// exceeds the budget retry once at limit 2 (deep-chain data plans
+// smaller with less comp-space resolution).  Returns an opaque context
+// for bt_plan_batch_pack / bt_plan_batch_abort (never NULL for
+// nblocks > 0; NULL for nblocks <= 0).
+void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
+                          int nblocks, const uint8_t* src,
+                          const int64_t* src_off, const int32_t* src_len,
+                          const int32_t* out_len, int nrows, int max_passes,
+                          int split_limit, int cb, int band_rows,
+                          int band_tile, int32_t* p_used, int32_t* p0,
+                          int32_t* status, uint8_t* lit_out,
+                          int64_t lit_stride, int32_t* lit_used) {
+  if (nblocks <= 0) return nullptr;
+  auto ctx = std::make_unique<BtPlanCtx>();
+  ctx->nrows = nrows;
+  ctx->se.resize(static_cast<size_t>(nblocks));
+  ctx->shift.resize(static_cast<size_t>(nblocks));
+  BtPlanCtx* c_ = ctx.get();
+
+  RunWorkers(nthreads, nblocks, [&, c_](int i) {
+    const int c = codec_ids != nullptr ? codec_ids[i] : codec;
+    uint8_t* lit_i =
+        lit_out != nullptr ? lit_out + static_cast<int64_t>(i) * lit_stride
+                           : nullptr;
+    const int lit_cap_i = lit_out != nullptr ? static_cast<int>(lit_stride) : 0;
+    if (lit_used != nullptr) lit_used[i] = 0;
+    int32_t* lit_used_i = lit_used != nullptr ? lit_used + i : nullptr;
+    int32_t lit_scratch = 0;
+    if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
+    int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
+                         max_passes, split_limit, cb, band_rows, band_tile,
+                         &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
+                         lit_cap_i, lit_used_i);
+    if (rc == BT_ERR_CAPACITY && split_limit != 2) {
+      rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
+                       max_passes, /*split_limit=*/2, cb, band_rows, band_tile,
+                       &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
+                       lit_cap_i, lit_used_i);
+    }
+    status[i] = rc;
+    if (rc != BT_OK) {
+      p_used[i] = 0;
+      p0[i] = 0;
+      c_->se[i].clear();
+      c_->shift[i].clear();
+    }
+  });
+  return ctx.release();
+}
+
+// Phase 2: copy block i's plan rows to pass-row offset p_off[i] of the
+// caller's flat wire (se int16 / shift int32, each pass row = nrows
+// cells), then free the context.  p_off entries must leave room for
+// each block's p_used rows; failed blocks (empty plans) copy nothing.
+void bt_plan_batch_pack(void* ctx_ptr, int nthreads, const int64_t* p_off,
+                        int16_t* se, int32_t* shift) {
+  std::unique_ptr<BtPlanCtx> ctx(static_cast<BtPlanCtx*>(ctx_ptr));
+  if (!ctx) return;
+  const int nblocks = static_cast<int>(ctx->se.size());
+  const int nrows = ctx->nrows;
+  BtPlanCtx* c_ = ctx.get();
+  RunWorkers(nthreads, nblocks, [&, c_](int i) {
+    const std::vector<int16_t>& se_i = c_->se[i];
+    if (se_i.empty()) return;
+    const size_t base = static_cast<size_t>(p_off[i]) * nrows;
+    std::memcpy(se + base, se_i.data(), se_i.size() * sizeof(int16_t));
+    std::memcpy(shift + base, c_->shift[i].data(),
+                c_->shift[i].size() * sizeof(int32_t));
+  });
+}
+
+// Free a context without packing (e.g. the caller re-plans unbanded).
+void bt_plan_batch_abort(void* ctx_ptr) {
+  delete static_cast<BtPlanCtx*>(ctx_ptr);
+}
+
+// Compat wrapper: batched parse+plan+pack with block i's plan rows at
+// the dense offset i*max_passes in se/shift (each row nrows cells).
+void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
+                   int nblocks, const uint8_t* src, const int64_t* src_off,
+                   const int32_t* src_len, const int32_t* out_len, int nrows,
+                   int max_passes, int split_limit, int cb, int band_rows,
+                   int band_tile, int16_t* se, int32_t* shift,
+                   int32_t* p_used, int32_t* p0, int32_t* status,
+                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used) {
+  if (nblocks <= 0) return;
+  void* ctx = bt_plan_batch_begin(
+      codec, codec_ids, nthreads, nblocks, src, src_off, src_len, out_len,
+      nrows, max_passes, split_limit, cb, band_rows, band_tile, p_used, p0,
+      status, lit_out, lit_stride, lit_used);
+  std::vector<int64_t> p_off(static_cast<size_t>(nblocks));
+  for (int i = 0; i < nblocks; ++i) {
+    p_off[i] = static_cast<int64_t>(i) * max_passes;
+  }
+  bt_plan_batch_pack(ctx, nthreads, p_off.data(), se, shift);
 }
 
 }  // extern "C"
