@@ -40,13 +40,48 @@ namespace {
 
 thread_local int g_split_limit = 2;  // per-thread: see bt_plan_rows' split_limit arg
 
+inline int32_t Gcd(int32_t a, int32_t b) {
+  while (b != 0) {
+    const int32_t t = a % b;
+    a = b;
+    b = t;
+  }
+  return a;
+}
+
 struct Frag {
   int32_t dst;
   int32_t len;
-  int32_t shift;      // src = p + shift in the source plane
-  uint8_t out_space;  // 0 = comp plane, 1 = output plane
+  int32_t shift;      // src = p + shift in the source plane; for kFill:
+                      // the base source row rs
+  uint8_t out_space;  // 0 = comp plane, 1 = output plane, 2 = row fill
+  int32_t aux;        // kFill only: source period in rows (g)
   int32_t cell_base;  // index of this fragment's first row-cell pass
 };
+
+// Fragment kinds (Frag::out_space).
+constexpr uint8_t kComp = 0;
+constexpr uint8_t kOut = 1;
+// Row fill: every target row r copies SOURCE ROW rs + ((r - rs) mod g)
+// whole-row (per-row cell shift = (sr - r) * 128).  This collapses the
+// tail of an overlapping match (offset < length, the RLE/periodic case)
+// into ONE pass regardless of length: once g consecutive rows hold the
+// repeating content, every later row is a plain row copy — expressible
+// in the existing kernel wire because plan cells are per (pass, row)
+// and carry their own shift.  The log-doubling expansion only runs
+// until those g source rows exist.
+constexpr uint8_t kFill = 2;
+// Fill applies when g = offset / gcd(offset, 128) beats the doubling
+// pass count it replaces; this caps the source-row window regardless.
+constexpr int32_t kMaxFillPeriodRows = 32;
+
+// Per-(fragment, row) plan-cell shift: the wire value stored in the
+// flat plan for row r of fragment f.
+inline int32_t CellShift(const Frag& f, int32_t r) {
+  if (f.out_space != kFill) return f.shift;
+  const int32_t sr = f.shift + ((r - f.shift) % f.aux);
+  return (sr - r) * 128;
+}
 
 class Planner {
  public:
@@ -82,7 +117,15 @@ class Planner {
         return;
       }
     }
-    frags_.push_back({dst, len, shift, static_cast<uint8_t>(out_space), 0});
+    frags_.push_back({dst, len, shift, static_cast<uint8_t>(out_space), 0, 0});
+    IndexRows(static_cast<int>(frags_.size()) - 1, dst, len);
+  }
+
+  // Append a row-fill fragment (see kFill): [dst, dst+len) with dst
+  // row-aligned, base source row rs, source period g rows.
+  void AppendFill(int32_t dst, int32_t len, int32_t rs, int32_t g) {
+    if (len <= 0) return;
+    frags_.push_back({dst, len, rs, kFill, g, 0});
     IndexRows(static_cast<int>(frags_.size()) - 1, dst, len);
   }
 
@@ -101,6 +144,10 @@ class Planner {
       const Frag& f = frags_[fi];
       if (f.dst > pos || f.dst + f.len <= pos) return false;  // gap
       const int32_t take = std::min(len, f.dst + f.len - pos);
+      if (f.out_space == kFill) {
+        // Per-row variable shifts don't project to one slope-1 span.
+        return false;
+      }
       if (f.out_space) {
         if (!ProjectToComp(pos + f.shift, take, pieces, depth + 1)) {
           return false;
@@ -156,21 +203,50 @@ class Planner {
         if (!EmitMatch(d, m, o)) return false;
         continue;
       }
-      // Overlap: doubling pieces [d, d+o), [d+o, d+2o), [d+2o, d+4o) ...
+      // Overlap (offset < length): out[p] = out[p - o] makes the whole
+      // region [d-o, d+m) periodic with period o.  Once g = o/gcd(o,128)
+      // consecutive FULL rows of that region exist, every later row is a
+      // whole-row copy of one of them — a single kFill pass regardless
+      // of match length.  Doubling pieces [d, d+o), [d+o, d+2o), ...
+      // build only the head.
+      int32_t needed = m;          // head bytes before the fill can start
+      int32_t rs = 0, g = 0;
+      if (d - o >= 0) {
+        g = o / Gcd(o, 128);
+        // Doubling passes the fill would replace: log2(m / o)-ish.
+        int32_t dbl = 0;
+        for (int64_t c = o; c < m; c <<= 1) ++dbl;
+        if (g <= kMaxFillPeriodRows && g < dbl) {
+          rs = (d - o + 127) / 128;          // first full row in the region
+          const int32_t head = (rs + g) * 128 - d;
+          // Worth a fill only when the tail spans at least two rows.
+          if (head >= 0 && head < m && (m - head) >= 2 * 128) {
+            needed = head;
+          }
+        }
+      }
       int32_t defined = 0;
-      while (defined < m) {
-        const int32_t chunk = std::min(defined == 0 ? o : defined, m - defined);
-        // Source of this piece is [d - o + defined, ...): distance back is
-        // o + (0) .. constant o relative to its own start?  Piece start
-        // e = d + defined copies from e - step where step = o when
-        // defined == 0 else `defined` is fine too; use distance that
-        // guarantees the source is fully materialized: copy from
-        // [d - o, d - o + chunk) shifted: e - (o + defined - defined)...
-        // Simplest correct choice: piece copies from o bytes back when
-        // defined == 0, else from `defined` bytes back (doubling).
+      while (defined < std::min(needed, m)) {
+        int32_t chunk = std::min(defined == 0 ? o : defined, m - defined);
+        if (needed < m) chunk = std::min(chunk, needed - defined);
+        // Piece start e = d + defined copies from `step` bytes back:
+        // o for the first piece, then the doubling distance `defined` —
+        // both guarantee the source is fully materialized.
         const int32_t step = (defined == 0) ? o : defined;
-        if (!EmitMatch(d + defined, chunk, step)) return false;
+        // Doubling pieces over a tiny period splinter into unit-length
+        // comp fragments under projection (an RLE head would resolve to
+        // ~chunk one-byte fragments, each its own pass in its row);
+        // budget the projection by piece length so tiny pieces stay
+        // out-space.
+        const int saved_limit = g_split_limit;
+        g_split_limit = std::min(saved_limit, std::max(1, chunk / 16));
+        const bool ok = EmitMatch(d + defined, chunk, step);
+        g_split_limit = saved_limit;
+        if (!ok) return false;
         defined += chunk;
+      }
+      if (defined < m) {
+        AppendFill(d + defined, m - defined, rs, g);
       }
     }
     return true;
@@ -278,10 +354,11 @@ class Planner {
       for (int r = r0; r <= r1; ++r) {
         const int32_t cell_lo = std::max(f.dst, r * 128);
         const int32_t cell_hi = std::min(f.dst + f.len, (r + 1) * 128);
+        const int32_t cs = CellShift(f, r);
         // Dependency floor over the source range of this cell (linear
         // forward walk: fragments are dense).
         int floor_pass = p0 - 1;
-        int32_t pos = cell_lo + f.shift;
+        int32_t pos = cell_lo + cs;
         int32_t remaining = cell_hi - cell_lo;
         int fi = FindIdx(pos);
         while (remaining > 0) {
@@ -301,8 +378,8 @@ class Planner {
         int pass = std::max(floor_pass + 1, p0);
         uint8_t* row_used = used.data() + static_cast<size_t>(r) * max_passes;
         if (band_rows > 0) {
-          const int32_t srlo = (cell_lo + f.shift) >> 7;
-          const int32_t srhi = (cell_hi - 1 + f.shift) >> 7;
+          const int32_t srlo = (cell_lo + cs) >> 7;
+          const int32_t srhi = (cell_hi - 1 + cs) >> 7;
           const int tile = r / band_tile;
           while (pass < max_passes &&
                  (row_used[pass] ||
@@ -408,7 +485,7 @@ int bt_plan_rows(int nseq, const int32_t* lit_ptr, const int32_t* lit_len,
       // kernel's active mask must not fire early there.
       r_dstart[cell] = std::max(f.dst, r * 128);
       r_dend[cell] = std::min(f.dst + f.len, (r + 1) * 128);
-      r_shift[cell] = f.shift;
+      r_shift[cell] = CellShift(f, r);
     }
   }
   return total;
@@ -570,7 +647,7 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
       const int start = std::max(f.dst - r * 128, 0);
       const int end = std::min(f.dst + f.len - r * 128, 128);
       se[cell] = static_cast<int16_t>((start << 8) | end);
-      shift[cell] = f.shift;
+      shift[cell] = CellShift(f, r);
     }
   }
   *p_used_out = total_pad;
