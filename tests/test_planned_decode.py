@@ -341,3 +341,68 @@ def test_chunked_plan_build_matches_single(rng, monkeypatch):
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)
+
+
+def test_fill_fragments_periodic_data(rng):
+    # Row-fill fragments (plan.cc kFill): the tail of an overlapping
+    # match (offset < length) collapses into ~one pass of whole-row
+    # copies instead of log-doubling all the way.  Periodic corpora must
+    # stay bit-exact AND plan small (the pass count is the decode cost).
+    from bitar_tpu.ops.pallas.lz4_decode_flat import decode_flat_numpy
+
+    block = 128 * 1024
+    nrows = block // 128
+    cases = {
+        "rle": bytes([0x41]) * block,
+        "zeros": bytes(block),
+        "period3": (b"abc" * (block // 3 + 1))[:block],
+        "period7": (b"1234567" * (block // 7 + 1))[:block],
+        "period16": (bytes(range(16)) * (block // 16))[:block],
+        "rle_mid": (rng.integers(0, 256, 777, np.uint8).tobytes()
+                    + bytes([9]) * (block - 1777)
+                    + rng.integers(0, 256, 1000, np.uint8).tobytes()),
+    }
+    for name, raw in cases.items():
+        comp = np.asarray(native.lz4_compress(raw))
+        se, sh, pu, p0, st, _ = native.plan_batch_flat(
+            comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
+            np.array([block], np.int32), np.zeros(1, np.int32),
+            nrows, 160, cb=4)
+        assert st[0] == 0, (name, st[0])
+        P = int(pu[0])
+        assert P <= 20, f"{name}: fill rewrite regressed to {P} passes"
+        comp_rows = -(-len(comp) // 128)
+        plans = {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
+                 "se": se[0, :P].reshape(P, -1, 128),
+                 "shift": sh[0, :P].reshape(P, -1, 128)}
+        out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
+        assert out.reshape(-1).tobytes()[:block] == raw, name
+
+
+def test_fill_fragments_fuzz_overlap_matches(rng):
+    # Adversarial overlap shapes: random periods/lengths/phases around
+    # row boundaries, decoded through the flat numpy oracle.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import decode_flat_numpy
+
+    for trial in range(40):
+        period = int(rng.integers(1, 200))
+        unit = rng.integers(0, 256, period, np.uint8).tobytes()
+        pre = rng.integers(0, 256, int(rng.integers(0, 300)),
+                           np.uint8).tobytes()
+        n = int(rng.integers(512, 64 * 1024))
+        raw = (pre + unit * (n // period + 2))[:n]
+        comp = np.asarray(native.lz4_compress(raw))
+        nrows = -(-len(raw) // 128)
+        se, sh, pu, p0, st, _ = native.plan_batch_flat(
+            comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
+            np.array([len(raw)], np.int32), np.zeros(1, np.int32),
+            nrows, 160, cb=4)
+        if st[0] != 0:
+            continue                    # unplannable: host fallback path
+        P = int(pu[0])
+        comp_rows = -(-len(comp) // 128)
+        plans = {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
+                 "se": se[0, :P], "shift": sh[0, :P]}
+        out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
+        assert out.reshape(-1).tobytes()[:len(raw)] == raw, \
+            f"trial {trial} period {period}"
