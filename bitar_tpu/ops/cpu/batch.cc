@@ -33,10 +33,8 @@ int DispatchOne(int codec, bool compress, const uint8_t* src, int src_len,
     case BT_CODEC_RAW:
       return RawCopy(src, src_len, dst, dst_cap);
     case BT_CODEC_ZSTD:
-      // Decompression is native (from-scratch RFC 8878 decoder, zstd.cc);
-      // compression routes to the Python layer's zstandard module (the
-      // registry handles it), reported NOT_IMPLEMENTED here.
-      return compress ? BT_ERR_NOT_IMPLEMENTED
+      // Both directions native from-scratch (RFC 8878, zstd.cc).
+      return compress ? bt_zstd_compress(src, src_len, dst, dst_cap)
                       : bt_zstd_decompress(src, src_len, dst, dst_cap);
     default:
       return BT_ERR_INVALID;
@@ -102,4 +100,4 @@ extern "C" void bt_batch_decompress(int codec, const int32_t* codec_ids,
            dst, dst_off, dst_len, status);
 }
 
-extern "C" int bt_abi_version(void) { return 3; }
+extern "C" int bt_abi_version(void) { return 4; }

@@ -83,7 +83,13 @@ int bt_snappy_parse(const uint8_t* src, int src_len, int max_seq,
                     int32_t* lit_ptr, int32_t* lit_len, int32_t* off,
                     int32_t* mlen, int32_t* out_pos);
 
-/* ---- Zstandard (RFC 8878), from-scratch decoder (zstd.cc) ---------- */
+/* ---- Zstandard (RFC 8878), from-scratch codec (zstd.cc) ------------ */
+
+/* Compress into a standard single-segment zstd frame (greedy LZ matching,
+ * raw literals, predefined-FSE sequence coding, per-block raw fallback).
+ * Returns compressed length or negative code. */
+int bt_zstd_compress(const uint8_t* src, int src_len, uint8_t* dst,
+                     int dst_cap);
 
 /* Decode a standard zstd frame; returns decompressed length or negative
  * code.  Dictionaries unsupported; frame checksums skipped (the engine's

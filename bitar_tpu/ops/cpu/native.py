@@ -23,7 +23,7 @@ _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -62,7 +62,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64p = ctypes.POINTER(ctypes.c_int64)
     for name in ("bt_lz4_compress", "bt_lz4_decompress",
                  "bt_snappy_compress", "bt_snappy_decompress",
-                 "bt_zstd_decompress"):
+                 "bt_zstd_compress", "bt_zstd_decompress"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
@@ -242,6 +242,21 @@ def snappy_decompress(data, dst_cap: int | None = None) -> np.ndarray:
     dst = np.empty(max(1, dst_cap), dtype=np.uint8)
     rc = _check(load().bt_snappy_decompress(_u8ptr(src), len(src), _u8ptr(dst), dst_cap),
                 "snappy_decompress")
+    return dst[:rc]
+
+
+def zstd_compress(data, dst_cap: int | None = None) -> np.ndarray:
+    """Native from-scratch zstd frame encode (ops/cpu/zstd.cc).
+
+    Greedy LZ matching with raw literals and predefined-FSE sequence
+    coding; incompressible blocks fall back to raw, so worst-case output
+    is src_len + 3 bytes per 128 KiB block + frame header.
+    """
+    src = _as_u8(data)
+    cap = dst_cap if dst_cap is not None else len(src) + len(src) // 255 + 64
+    dst = np.empty(max(1, cap), dtype=np.uint8)
+    rc = _check(load().bt_zstd_compress(_u8ptr(src), len(src), _u8ptr(dst),
+                                        cap), "zstd_compress")
     return dst[:rc]
 
 

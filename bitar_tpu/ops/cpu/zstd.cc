@@ -800,9 +800,436 @@ int ZstdWalk(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap,
   return d;
 }
 
+// =====================================================================
+// From-scratch Zstandard COMPRESSOR (RFC 8878 encoder side).
+//
+// Strategy: greedy hash-4 LZ matching over the full window (the frame is
+// single-segment, so any back-reference to the start of the input is
+// legal), raw (uncompressed) literals, and sequences entropy-coded with
+// the PREDEFINED FSE distributions (Predefined_Mode for all three
+// channels).  Every compressed block is therefore self-describing with
+// zero table payload; blocks that do not shrink fall back to Raw_Block.
+// This mirrors the library's lz4.cc matcher structure and interops with
+// any compliant decoder (fuzz-validated against the zstandard module and
+// the decoder above).
+//
+// Reference for capability parity: bitar's device executes both
+// directions of its codec (src/device.cc:157-318); this makes zstd a
+// full native member of the host codec set rather than riding the
+// Python zstandard module.
+
+namespace {
+
+// Forward bit writer: zstd entropy payloads are written forward,
+// low-bits-first per byte, and read backward from a final 1-terminator.
+struct FwdBits {
+  uint8_t* p;
+  uint8_t* lim;
+  uint64_t acc = 0;
+  int n = 0;
+  bool overflow = false;
+
+  FwdBits(uint8_t* dst, uint8_t* limit) : p(dst), lim(limit) {}
+
+  void Add(uint32_t v, int nb) {
+    if (nb <= 0) return;
+    const uint32_t mask = nb >= 32 ? ~0u : ((1u << nb) - 1);
+    acc |= static_cast<uint64_t>(v & mask) << n;
+    n += nb;
+    while (n >= 8) {
+      if (p >= lim) { overflow = true; n = 0; acc = 0; return; }
+      *p++ = static_cast<uint8_t>(acc);
+      acc >>= 8;
+      n -= 8;
+    }
+  }
+
+  // Terminator bit + pad; returns false on overflow.
+  bool Close() {
+    Add(1, 1);
+    if (n > 0) {
+      if (p >= lim) return false;
+      *p++ = static_cast<uint8_t>(acc);
+      acc = 0;
+      n = 0;
+    }
+    return !overflow;
+  }
+};
+
+// FSE encoding table (upstream FSE_buildCTable construction) built from
+// the same normalized counts and symbol spread as the decoder's FseTable
+// — the spread loop below must stay bit-identical to FseTable::Build.
+struct FseCTable {
+  int log = 0;
+  std::vector<uint16_t> next_state;   // indexed by cumulative symbol rank
+  std::vector<uint32_t> delta_nbbits;
+  std::vector<int32_t> delta_fs;
+
+  bool Build(const int16_t* counts, int nsym, int accuracy_log) {
+    log = accuracy_log;
+    const int size = 1 << accuracy_log;
+    std::vector<uint8_t> spread(size, 0);
+
+    int hi = size - 1;
+    for (int s = 0; s < nsym; ++s) {
+      if (counts[s] == -1) spread[hi--] = static_cast<uint8_t>(s);
+    }
+    const int step = (size >> 1) + (size >> 3) + 3;
+    const int mask = size - 1;
+    int pos = 0;
+    for (int s = 0; s < nsym; ++s) {
+      for (int c = 0; c < counts[s]; ++c) {
+        spread[pos] = static_cast<uint8_t>(s);
+        do {
+          pos = (pos + step) & mask;
+        } while (pos > hi);
+      }
+    }
+    if (pos != 0) return false;
+
+    // cumul[s] = first state-table rank of symbol s.
+    std::vector<int> cumul(nsym + 1, 0);
+    for (int s = 0; s < nsym; ++s) {
+      cumul[s + 1] = cumul[s] + (counts[s] == -1 ? 1 : counts[s]);
+    }
+    if (cumul[nsym] != size) return false;
+    next_state.assign(size, 0);
+    for (int u = 0; u < size; ++u) {
+      const int s = spread[u];
+      next_state[cumul[s]++] = static_cast<uint16_t>(size + u);
+    }
+
+    delta_nbbits.assign(nsym, 0);
+    delta_fs.assign(nsym, 0);
+    int total = 0;
+    for (int s = 0; s < nsym; ++s) {
+      const int c = counts[s] == -1 ? 1 : counts[s];
+      if (c == 0) continue;
+      if (c == 1) {
+        delta_nbbits[s] = (static_cast<uint32_t>(accuracy_log) << 16) -
+                          (1u << accuracy_log);
+        delta_fs[s] = total - 1;
+        total += 1;
+      } else {
+        const int max_bits =
+            accuracy_log - (31 - __builtin_clz(static_cast<unsigned>(c - 1)));
+        const uint32_t min_state_plus = static_cast<uint32_t>(c) << max_bits;
+        delta_nbbits[s] = (static_cast<uint32_t>(max_bits) << 16) -
+                          min_state_plus;
+        delta_fs[s] = total - c;
+        total += c;
+      }
+    }
+    return total == size;
+  }
+};
+
+struct CState {
+  uint32_t value = 0;
+
+  // First symbol: state loaded without emitting bits (FSE_initCState2).
+  void Init(const FseCTable& t, int sym) {
+    const uint32_t nb = (t.delta_nbbits[sym] + (1u << 15)) >> 16;
+    const uint32_t v = (nb << 16) - t.delta_nbbits[sym];
+    value = t.next_state[(v >> nb) + t.delta_fs[sym]];
+  }
+
+  void Encode(FwdBits& b, const FseCTable& t, int sym) {
+    const uint32_t nb = (value + t.delta_nbbits[sym]) >> 16;
+    b.Add(value, static_cast<int>(nb));
+    value = t.next_state[(value >> nb) + t.delta_fs[sym]];
+  }
+
+  void Flush(FwdBits& b, const FseCTable& t) { b.Add(value, t.log); }
+};
+
+// Predefined-mode encoding tables, built once.
+struct PredefCTables {
+  FseCTable ll, of, ml;
+  bool ok;
+  PredefCTables() {
+    ok = ll.Build(kLLDefault, 36, 6) && of.Build(kOFDefault, 29, 5) &&
+         ml.Build(kMLDefault, 53, 6);
+  }
+};
+
+const PredefCTables& Ctables() {
+  static const PredefCTables t;
+  return t;
+}
+
+inline int HighBit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// Sequence code mappings (RFC 8878 §3.1.1.3.2.1), inverse of kLLBase etc.
+inline int LLCode(uint32_t ll) {
+  if (ll < 16) return static_cast<int>(ll);
+  int c = 35;
+  while (kLLBase[c] > ll) --c;
+  return c;
+}
+
+inline int MLCode(uint32_t ml) {    // ml is the actual match length (>= 3)
+  if (ml < 35) return static_cast<int>(ml - 3);
+  int c = 52;
+  while (kMLBase[c] > ml) --c;
+  return c;
+}
+
+struct EncSeq {
+  const uint8_t* lit;   // literal bytes preceding the match (in src)
+  uint32_t ll;
+  uint32_t offbase;     // offset + 3 (repeat offsets never emitted)
+  uint32_t ml;          // actual match length (>= 3)
+};
+
+// Encode one compressed block's content (literals section + sequences
+// section) at dst; trailing literals [tlit, tlit+tll) follow the
+// sequences.  Returns content size or -1 on overflow/cap.
+int EncodeBlockContent(const std::vector<EncSeq>& seqs, const uint8_t* tlit,
+                       int tll, uint8_t* dst, int cap) {
+  const PredefCTables& ct = Ctables();
+  if (!ct.ok) return -1;
+  int64_t lit_total = tll;
+  for (const EncSeq& s : seqs) lit_total += s.ll;
+  if (lit_total > (1 << 20) - 1) return -1;
+  const int L = static_cast<int>(lit_total);
+
+  int d = 0;
+  // Literals section header, Raw_Literals_Block.
+  if (L < 32) {
+    if (cap < 1) return -1;
+    dst[d++] = static_cast<uint8_t>(L << 3);
+  } else if (L < 4096) {
+    if (cap < 2) return -1;
+    dst[d++] = static_cast<uint8_t>((1 << 2) | ((L & 0xF) << 4));
+    dst[d++] = static_cast<uint8_t>(L >> 4);
+  } else {
+    if (cap < 3) return -1;
+    dst[d++] = static_cast<uint8_t>((3 << 2) | ((L & 0xF) << 4));
+    dst[d++] = static_cast<uint8_t>((L >> 4) & 0xFF);
+    dst[d++] = static_cast<uint8_t>(L >> 12);
+  }
+  if (d + L > cap) return -1;
+  for (const EncSeq& s : seqs) {
+    std::memcpy(dst + d, s.lit, s.ll);
+    d += static_cast<int>(s.ll);
+  }
+  if (tll > 0) {
+    std::memcpy(dst + d, tlit, tll);
+    d += tll;
+  }
+
+  // Sequences section: count, modes, FSE bitstream.
+  const int nseq = static_cast<int>(seqs.size());
+  if (nseq < 128) {
+    if (d + 1 > cap) return -1;
+    dst[d++] = static_cast<uint8_t>(nseq);
+  } else if (nseq < 0x7F00) {
+    if (d + 2 > cap) return -1;
+    dst[d++] = static_cast<uint8_t>(128 + (nseq >> 8));
+    dst[d++] = static_cast<uint8_t>(nseq & 0xFF);
+  } else {
+    if (d + 3 > cap) return -1;
+    dst[d++] = 255;
+    dst[d++] = static_cast<uint8_t>((nseq - 0x7F00) & 0xFF);
+    dst[d++] = static_cast<uint8_t>((nseq - 0x7F00) >> 8);
+  }
+  if (nseq == 0) return d;
+  if (d + 1 > cap) return -1;
+  dst[d++] = 0;  // all channels Predefined_Mode
+
+  // The bitstream is written forward and read backward: encode sequences
+  // last-to-first so the decoder's forward walk sees them in order
+  // (canonical FSE encoder structure).
+  FwdBits bits(dst + d, dst + cap);
+  const EncSeq& last = seqs[nseq - 1];
+  const int ll_c0 = LLCode(last.ll);
+  const int ml_c0 = MLCode(last.ml);
+  const int of_c0 = HighBit(last.offbase);
+  CState sml, sof, sll;
+  sml.Init(ct.ml, ml_c0);
+  sof.Init(ct.of, of_c0);
+  sll.Init(ct.ll, ll_c0);
+  bits.Add(last.ll - kLLBase[ll_c0], kLLBits[ll_c0]);
+  bits.Add(last.ml - kMLBase[ml_c0], kMLBits[ml_c0]);
+  bits.Add(last.offbase - (1u << of_c0), of_c0);
+  for (int i = nseq - 2; i >= 0; --i) {
+    const EncSeq& s = seqs[i];
+    const int ll_c = LLCode(s.ll);
+    const int ml_c = MLCode(s.ml);
+    const int of_c = HighBit(s.offbase);
+    sof.Encode(bits, ct.of, of_c);
+    sml.Encode(bits, ct.ml, ml_c);
+    sll.Encode(bits, ct.ll, ll_c);
+    bits.Add(s.ll - kLLBase[ll_c], kLLBits[ll_c]);
+    bits.Add(s.ml - kMLBase[ml_c], kMLBits[ml_c]);
+    bits.Add(s.offbase - (1u << of_c), of_c);
+  }
+  sml.Flush(bits, ct.ml);
+  sof.Flush(bits, ct.of);
+  sll.Flush(bits, ct.ll);
+  if (!bits.Close()) return -1;
+  return d + static_cast<int>(bits.p - (dst + d));
+}
+
+constexpr int kZBlockMax = 128 * 1024;  // Block_Maximum_Size (window >= 128K)
+constexpr int kZHashLog = 15;
+constexpr int kZHashSize = 1 << kZHashLog;
+constexpr int kZMinMatch = 4;           // hash-4 matcher (codes allow 3)
+
+inline uint32_t ZHash4(uint32_t v) { return (v * 2654435761u) >> (32 - kZHashLog); }
+
+int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
+  int d = 0;
+  // --- Frame header: magic + single-segment FHD + frame content size.
+  const int fcs_flag = src_len <= 255 ? 0 : (src_len < 65536 + 256 ? 1 : 2);
+  const int fcs_size = fcs_flag == 0 ? 1 : (fcs_flag == 1 ? 2 : 4);
+  if (d + 5 + fcs_size > dst_cap) return BT_ERR_CAPACITY;
+  const uint32_t magic = 0xFD2FB528u;
+  std::memcpy(dst + d, &magic, 4);
+  d += 4;
+  dst[d++] = static_cast<uint8_t>((fcs_flag << 6) | 0x20);
+  {
+    uint64_t fcs = static_cast<uint64_t>(src_len);
+    if (fcs_flag == 1) fcs -= 256;
+    for (int k = 0; k < fcs_size; ++k) dst[d++] = static_cast<uint8_t>(fcs >> (8 * k));
+  }
+  if (src_len == 0) {
+    if (d + 3 > dst_cap) return BT_ERR_CAPACITY;
+    dst[d++] = 1;  // last, Raw_Block, size 0
+    dst[d++] = 0;
+    dst[d++] = 0;
+    return d;
+  }
+
+  std::vector<int32_t> table(kZHashSize, -1);
+  std::vector<EncSeq> seqs;
+  seqs.reserve(1024);
+
+  const int matchlimit = src_len - 5;   // keep the last bytes literal (hash-4
+  const int mflimit = src_len - 12;     // + fast tail, as in lz4.cc)
+  int i = 0;
+  int anchor = 0;
+  int pending_off = 0;  // match continuation across a block cut
+
+  for (int b0 = 0; b0 < src_len; b0 += kZBlockMax) {
+    const int b1 = b0 < src_len - kZBlockMax ? b0 + kZBlockMax : src_len;
+    seqs.clear();
+
+    // Continue a match truncated at the previous block boundary.
+    if (pending_off > 0 && i < matchlimit) {
+      int ml = 0;
+      const int lim = b1 < matchlimit ? b1 : matchlimit;
+      while (i + ml < lim && src[i + ml] == src[i - pending_off + ml]) ++ml;
+      if (ml >= 3) {
+        seqs.push_back(EncSeq{src + anchor, 0,
+                              static_cast<uint32_t>(pending_off) + 3,
+                              static_cast<uint32_t>(ml)});
+        i += ml;
+        anchor = i;
+      }
+    }
+    pending_off = 0;
+
+    int misses = 0;
+    while (i < b1 && i < mflimit) {
+      uint32_t seq4;
+      std::memcpy(&seq4, src + i, 4);
+      const uint32_t h = ZHash4(seq4);
+      const int cand = table[h];
+      table[h] = i;
+      uint32_t cand4 = ~seq4;
+      if (cand >= 0) std::memcpy(&cand4, src + cand, 4);
+      // The window cap keeps of_code <= 28 (the largest symbol in the
+      // predefined offset distribution); engine blocks are far smaller.
+      if (cand < 0 || i - cand >= (1 << 27) || cand4 != seq4) {
+        i += 1 + (misses++ >> 6);
+        continue;
+      }
+      misses = 0;
+      const int off = i - cand;
+      // Extend forward, capped at the block boundary (a sequence decodes
+      // entirely within its block) and the frame match limit.
+      const int lim = b1 < matchlimit ? b1 : matchlimit;
+      if (i + kZMinMatch > lim) break;  // no room before the block cut
+      int mlen = kZMinMatch;
+      while (i + mlen < lim && src[cand + mlen] == src[i + mlen]) ++mlen;
+      // Extend backward over pending literals of this block.
+      int mstart = i;
+      int cstart = cand;
+      const int back_lim = anchor > b0 ? anchor : b0;
+      while (mstart > back_lim && cstart > 0 &&
+             src[mstart - 1] == src[cstart - 1]) {
+        --mstart;
+        --cstart;
+        ++mlen;
+      }
+      seqs.push_back(EncSeq{src + anchor,
+                            static_cast<uint32_t>(mstart - anchor),
+                            static_cast<uint32_t>(off) + 3,
+                            static_cast<uint32_t>(mlen)});
+      i = mstart + mlen;
+      anchor = i;
+      if (i == b1 && i + 3 <= matchlimit &&
+          src[i] == src[i - off] && src[i + 1] == src[i + 1 - off] &&
+          src[i + 2] == src[i + 2 - off]) {
+        pending_off = off;  // match continues into the next block
+      }
+    }
+
+    // --- Flush block [b0, b1): header + content, raw fallback.
+    const int decoded = b1 - b0;
+    const bool last = b1 == src_len;
+    if (d + 3 > dst_cap) return BT_ERR_CAPACITY;
+    const int tll = b1 - anchor;          // trailing literals
+    int csize = -1;
+    if (!seqs.empty()) {
+      const int budget = (d + 3 + decoded <= dst_cap ? decoded
+                                                     : dst_cap - d - 3) - 1;
+      if (budget > 0) {
+        csize = EncodeBlockContent(seqs, src + anchor, tll, dst + d + 3,
+                                   budget);
+      }
+    }
+    if (csize > 0 && csize < decoded) {
+      const uint32_t bh = static_cast<uint32_t>(last ? 1 : 0) | (2u << 1) |
+                          (static_cast<uint32_t>(csize) << 3);
+      dst[d] = static_cast<uint8_t>(bh);
+      dst[d + 1] = static_cast<uint8_t>(bh >> 8);
+      dst[d + 2] = static_cast<uint8_t>(bh >> 16);
+      d += 3 + csize;
+    } else {
+      if (d + 3 + decoded > dst_cap) return BT_ERR_CAPACITY;
+      const uint32_t bh = static_cast<uint32_t>(last ? 1 : 0) | (0u << 1) |
+                          (static_cast<uint32_t>(decoded) << 3);
+      dst[d] = static_cast<uint8_t>(bh);
+      dst[d + 1] = static_cast<uint8_t>(bh >> 8);
+      dst[d + 2] = static_cast<uint8_t>(bh >> 16);
+      std::memcpy(dst + d + 3, src + b0, decoded);
+      d += 3 + decoded;
+      pending_off = 0;
+    }
+    if (anchor < b1) anchor = b1;
+    if (i < b1) i = b1;
+  }
+  return d;
+}
+
+}  // namespace
+
 }  // namespace
 
 extern "C" {
+
+int bt_zstd_compress(const uint8_t* src, int src_len, uint8_t* dst,
+                     int dst_cap) {
+  if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
+      dst == nullptr) {
+    return BT_ERR_INVALID;
+  }
+  return ZstdCompress(src, src_len, dst, dst_cap);
+}
 
 int bt_zstd_decompress(const uint8_t* src, int src_len, uint8_t* dst,
                        int dst_cap) {

@@ -1,10 +1,10 @@
-"""From-scratch native zstd decoder (ops/cpu/zstd.cc) + its TPU plan path.
+"""From-scratch native zstd codec (ops/cpu/zstd.cc) + its TPU plan path.
 
-The decoder is validated against the environment's ``zstandard`` module
-(the upstream reference implementation) across entropy classes, levels,
-checksummed frames and multi-block frames; ``bt_zstd_parse`` feeds the
-plan-execute kernel with literals from a host-entropy-decoded plane, so
-zstd sequence execution happens on device like LZ4/Snappy.
+Decoder AND encoder are validated against the environment's ``zstandard``
+module (the upstream reference implementation) across entropy classes,
+levels, checksummed frames and multi-block frames; ``bt_zstd_parse``
+feeds the plan-execute kernel with literals from a host-entropy-decoded
+plane, so zstd sequence execution happens on device like LZ4/Snappy.
 """
 
 import numpy as np
@@ -76,7 +76,7 @@ def test_parse_reconstruction(rng):
 
 
 def test_engine_zstd_device_path(rng):
-    # codec=ZSTD end to end: compression via the zstandard module, decode
+    # codec=ZSTD end to end: native compression (zstd.cc encoder), decode
     # through the plan-execute kernel sourcing the literal plane.
     bs = 16384
     data = ((b"zstd on the device! " * 900)[:bs]
@@ -100,6 +100,50 @@ def test_engine_zstd_device_path(rng):
         out = eng.decompress(unit)
         assert out.tobytes() == data
         eng.recycle(unit)
+
+
+def test_encoder_roundtrip_vs_reference(rng):
+    # Native encoder output must decode bit-exactly with BOTH the upstream
+    # module (wire-format conformance) and our own decoder.
+    dctx = zstandard.ZstdDecompressor()
+    for name, data in corpus(rng):
+        comp = native.zstd_compress(data)
+        assert dctx.decompress(comp, max_output_size=len(data) + 64) == data, name
+        assert native.zstd_decompress(comp, len(data) + 16).tobytes() == data, name
+
+
+def test_encoder_multiblock_and_boundary_matches(rng):
+    # Frames > 128 KiB split into multiple zstd blocks; matches that
+    # straddle or end exactly at the block cut exercised the encoder's
+    # pending-match continuation and the near-boundary min-match guard.
+    dctx = zstandard.ZstdDecompressor()
+    cases = []
+    base = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    cases.append(("periodic1k", (base * 400)[: 3 * 131072 + 77]))
+    cases.append(("rle_long", b"\x55" * (2 * 131072 + 1)))
+    # match ends exactly at / just before the 128 KiB cut
+    blk = 131072
+    for delta in (-5, -4, -3, -1, 0, 1, 4):
+        d = bytearray(rng.integers(0, 256, blk + 200, dtype=np.uint8).tobytes())
+        d[blk + delta - 64 : blk + delta] = d[100:164]  # 64-byte match into the cut
+        cases.append((f"cutmatch{delta}", bytes(d)))
+    for name, data in cases:
+        comp = native.zstd_compress(data)
+        assert dctx.decompress(comp, max_output_size=len(data) + 64) == data, name
+        assert native.zstd_decompress(comp, len(data) + 16).tobytes() == data, name
+
+
+def test_encoder_edges():
+    dctx = zstandard.ZstdDecompressor()
+    assert dctx.decompress(native.zstd_compress(b""), max_output_size=8) == b""
+    one = native.zstd_compress(b"x")
+    assert dctx.decompress(one, max_output_size=8) == b"x"
+    # incompressible input falls back to raw blocks within the 1.1x bound
+    rnd = np.random.default_rng(3).integers(0, 256, 131072, np.uint8).tobytes()
+    comp = native.zstd_compress(rnd)
+    assert len(comp) <= len(rnd) + len(rnd) // 10
+    with pytest.raises(StatusError):
+        native.zstd_compress(b"hello world" * 100, dst_cap=4)
 
 
 def test_engine_zstd_host_backend(rng):
