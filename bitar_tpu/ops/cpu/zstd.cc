@@ -22,6 +22,8 @@
 
 #include "bitar_host.h"
 
+#include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <cstdio>
 #include <vector>
@@ -979,15 +981,401 @@ inline int MLCode(uint32_t ml) {    // ml is the actual match length (>= 3)
 struct EncSeq {
   const uint8_t* lit;   // literal bytes preceding the match (in src)
   uint32_t ll;
-  uint32_t offbase;     // offset + 3 (repeat offsets never emitted)
+  uint32_t off;         // actual match offset (repeat mapping at encode)
   uint32_t ml;          // actual match length (>= 3)
 };
 
+// ---------------------------------------------------------------------
+// Huffman literal encoding (canonical code, decoder-compatible weight
+// ordering; RFC 8878 §4.2.1).  Code lengths are limited to 11 bits with
+// the zlib bl_count overflow repair, which preserves Kraft equality —
+// required because the decoder infers the implied last weight from the
+// power-of-two completion.
+
+struct HufCTable {
+  uint16_t code[256];
+  uint8_t nbits[256];
+  uint8_t weight[256];
+  int last_sym = 0;     // highest present symbol; its weight is implied
+  int max_bits = 0;
+
+  bool Build(const uint32_t* hist) {
+    int syms[256];
+    int n = 0;
+    for (int s = 0; s < 256; ++s) {
+      if (hist[s]) syms[n++] = s;
+    }
+    if (n < 2) return false;  // single-symbol alphabets use RLE literals
+    std::sort(syms, syms + n,
+              [&](int a, int b) { return hist[a] < hist[b]; });
+
+    // Two-queue Huffman: leaves (sorted asc) + internal nodes (created in
+    // nondecreasing frequency order).
+    uint64_t freq[512];
+    int parent[512];
+    for (int k = 0; k < n; ++k) freq[k] = hist[syms[k]];
+    int nnodes = n;
+    int li = 0;        // next leaf
+    int qi = n;        // next internal to consume
+    for (int made = 0; made < n - 1; ++made) {
+      int a, b;
+      // smallest
+      if (qi >= nnodes || (li < n && freq[li] <= freq[qi])) a = li++;
+      else a = qi++;
+      if (qi >= nnodes || (li < n && freq[li] <= freq[qi])) b = li++;
+      else b = qi++;
+      freq[nnodes] = freq[a] + freq[b];
+      parent[a] = nnodes;
+      parent[b] = nnodes;
+      ++nnodes;
+    }
+    int depth[256];
+    for (int k = 0; k < n; ++k) {
+      int d = 0;
+      for (int v = k; v != nnodes - 1; v = parent[v]) ++d;
+      depth[k] = d;
+    }
+
+    // Length-limit to 11 via bl_count repair (zlib gen_bitlen scheme).
+    constexpr int kMaxLen = 11;
+    int bl_count[kMaxLen + 2] = {0};
+    int overflow = 0;
+    for (int k = 0; k < n; ++k) {
+      if (depth[k] > kMaxLen) {
+        ++overflow;
+        ++bl_count[kMaxLen];
+      } else {
+        ++bl_count[depth[k]];
+      }
+    }
+    while (overflow > 0) {
+      int bits = kMaxLen - 1;
+      while (bl_count[bits] == 0) --bits;
+      --bl_count[bits];
+      bl_count[bits + 1] += 2;
+      --bl_count[kMaxLen];
+      overflow -= 2;
+    }
+    // Reassign lengths: longest codes to the least frequent symbols
+    // (syms[] is frequency-ascending).
+    int len[256];
+    int k = 0;
+    for (int d = kMaxLen; d >= 1; --d) {
+      for (int c = 0; c < bl_count[d]; ++c) len[k++] = d;
+    }
+    if (k != n) return false;
+
+    int maxlen = len[0];
+    std::memset(weight, 0, sizeof(weight));
+    last_sym = 0;
+    for (int j = 0; j < n; ++j) {
+      weight[syms[j]] = static_cast<uint8_t>(maxlen + 1 - len[j]);
+      if (syms[j] > last_sym) last_sym = syms[j];
+    }
+    max_bits = maxlen;
+
+    // Canonical assignment mirroring HufTable::BuildFromWeights: ranked
+    // by weight ascending then symbol ascending; a symbol's code is the
+    // top nbits of its first table slot.
+    std::memset(nbits, 0, sizeof(nbits));
+    int pos = 0;
+    for (int w = 1; w <= max_bits; ++w) {
+      for (int s = 0; s <= last_sym; ++s) {
+        if (weight[s] != w) continue;
+        nbits[s] = static_cast<uint8_t>(max_bits + 1 - w);
+        code[s] = static_cast<uint16_t>(pos >> (w - 1));
+        pos += 1 << (w - 1);
+      }
+    }
+    return pos == (1 << max_bits);
+  }
+
+  int64_t PayloadBits(const uint32_t* hist) const {
+    int64_t bits = 0;
+    for (int s = 0; s <= last_sym; ++s) {
+      bits += static_cast<int64_t>(hist[s]) * nbits[s];
+    }
+    return bits;
+  }
+};
+
+// FSE-compressed Huffman weights (RFC 8878 §4.2.1.2): normalized-count
+// table description (the exact inverse of ReadFseDescription's walk)
+// followed by a two-state interleaved FSE stream, upstream flush order
+// (C2 then C1) so the decoder's s0 picks up even-index weights.
+// Returns payload bytes (the headerByte value) or -1 when FSE doesn't
+// apply (too few weights / single distinct symbol / overflow).
+int WriteHufWeightsFse(const uint8_t* w, int nw, uint8_t* dst, int cap) {
+  if (nw < 4 || cap < 4) return -1;
+  uint32_t cnt[16] = {0};
+  int maxs = 0;
+  for (int i = 0; i < nw; ++i) {
+    ++cnt[w[i]];
+    if (w[i] > maxs) maxs = w[i];
+  }
+  int distinct = 0;
+  for (int s = 0; s <= maxs; ++s) distinct += cnt[s] > 0;
+  if (distinct < 2) return -1;
+
+  // Normalize counts to 2^acc.  The description stores acc-5 in 4 bits
+  // and weight tables cap at 6, so acc is 5 or 6.
+  const int acc = (16 >= distinct && 16 >= nw) ? 5 : 6;
+  const int size = 1 << acc;
+  int16_t norm[16] = {0};
+  int sum = 0;
+  for (int s = 0; s <= maxs; ++s) {
+    if (!cnt[s]) continue;
+    int v = static_cast<int>((static_cast<uint64_t>(cnt[s]) * size + nw / 2) / nw);
+    if (v < 1) v = 1;
+    norm[s] = static_cast<int16_t>(v);
+    sum += v;
+  }
+  while (sum != size) {
+    int best = -1;
+    for (int s = 0; s <= maxs; ++s) {
+      if (norm[s] > (sum > size ? 1 : 0) &&
+          (best < 0 || norm[s] > norm[best])) {
+        best = s;
+      }
+    }
+    if (best < 0) return -1;
+    if (sum > size) { --norm[best]; --sum; }
+    else { ++norm[best]; ++sum; }
+  }
+  // A count occupying the whole table breaks termination (0-bit states).
+  for (int s = 0; s <= maxs; ++s) {
+    if (norm[s] >= size) return -1;
+  }
+
+  FseCTable ct;
+  if (!ct.Build(norm, maxs + 1, acc)) return -1;
+
+  // --- Table description: forward LSB-first bitstream, byte-padded.
+  uint8_t* p = dst;
+  uint64_t bacc = static_cast<uint64_t>(acc - 5);
+  int bn = 4;
+  auto put = [&](uint32_t v, int nb2) {
+    bacc |= static_cast<uint64_t>(v & ((1u << nb2) - 1)) << bn;
+    bn += nb2;
+    while (bn >= 8) {
+      if (p >= dst + cap) { bn = -1; return; }
+      *p++ = static_cast<uint8_t>(bacc);
+      bacc >>= 8;
+      bn -= 8;
+    }
+  };
+  {
+    int remaining = size + 1;
+    int threshold = size;
+    int nb = acc + 1;
+    int s = 0;
+    while (remaining > 1) {
+      if (s > maxs) return -1;
+      const int count = norm[s++];
+      const int maxv = 2 * threshold - 1 - remaining;
+      const int v = count + 1;
+      if (v < maxv) {
+        put(static_cast<uint32_t>(v), nb - 1);
+      } else {
+        put(static_cast<uint32_t>(v < threshold ? v : v + maxv), nb);
+      }
+      if (bn < 0) return -1;
+      remaining -= count;
+      while (remaining < threshold && remaining > 1) {
+        --nb;
+        threshold >>= 1;
+      }
+      if (count == 0 && remaining > 1) {
+        int z = 0;
+        while (s + z <= maxs && norm[s + z] == 0) ++z;
+        int zz = z;
+        while (zz >= 3) {
+          put(3, 2);
+          zz -= 3;
+        }
+        put(static_cast<uint32_t>(zz), 2);
+        if (bn < 0) return -1;
+        s += z;
+      }
+    }
+    if (bn > 0) {
+      if (p >= dst + cap) return -1;
+      *p++ = static_cast<uint8_t>(bacc);
+    }
+  }
+
+  // --- Weight payload: two interleaved states, symbols written backward.
+  FwdBits bits(p, dst + cap);
+  CState c1, c2;  // c1 carries even indices (decoder s0), c2 odd
+  int ip = nw;
+  if (nw & 1) {
+    c1.Init(ct, w[--ip]);
+    c2.Init(ct, w[--ip]);
+    c1.Encode(bits, ct, w[--ip]);
+  } else {
+    c2.Init(ct, w[--ip]);
+    c1.Init(ct, w[--ip]);
+  }
+  while (ip > 0) {
+    c2.Encode(bits, ct, w[--ip]);
+    c1.Encode(bits, ct, w[--ip]);
+  }
+  c2.Flush(bits, ct);
+  c1.Flush(bits, ct);
+  if (!bits.Close()) return -1;
+  return static_cast<int>(bits.p - dst);
+}
+
+// One Huffman stream: symbols written in reverse so the backward reader
+// sees them in order; returns bytes or -1 on overflow.
+int EncodeHufStream(const HufCTable& h, const uint8_t* lit, int n,
+                    uint8_t* dst, int cap) {
+  FwdBits b(dst, dst + cap);
+  for (int i = n - 1; i >= 0; --i) b.Add(h.code[lit[i]], h.nbits[lit[i]]);
+  if (!b.Close()) return -1;
+  return static_cast<int>(b.p - dst);
+}
+
+// Encode the literals section at dst: RLE when uniform, Huffman-compressed
+// (direct 4-bit weights; 1 stream <= 1023 bytes, else 4 streams) when it
+// saves space.  Returns bytes written, 0 when a raw section is the better
+// choice, -1 on cap overflow.
+int EncodeLiteralsSection(const uint8_t* lits, int L, uint8_t* dst, int cap) {
+  if (L >= 1) {
+    bool uniform = true;
+    for (int i = 1; i < L; ++i) {
+      if (lits[i] != lits[0]) { uniform = false; break; }
+    }
+    if (uniform && L >= 2) {  // RLE_Literals_Block
+      if (L < 32) {
+        if (cap < 2) return -1;
+        dst[0] = static_cast<uint8_t>(1 | (L << 3));
+        dst[1] = lits[0];
+        return 2;
+      }
+      if (L < 4096) {
+        if (cap < 3) return -1;
+        dst[0] = static_cast<uint8_t>(1 | (1 << 2) | ((L & 0xF) << 4));
+        dst[1] = static_cast<uint8_t>(L >> 4);
+        dst[2] = lits[0];
+        return 3;
+      }
+      if (cap < 4) return -1;
+      dst[0] = static_cast<uint8_t>(1 | (3 << 2) | ((L & 0xF) << 4));
+      dst[1] = static_cast<uint8_t>((L >> 4) & 0xFF);
+      dst[2] = static_cast<uint8_t>(L >> 12);
+      dst[3] = lits[0];
+      return 4;
+    }
+  }
+  if (L < 64 || L >= (1 << 18)) return 0;
+
+  uint32_t hist[256] = {0};
+  for (int i = 0; i < L; ++i) ++hist[lits[i]];
+  HufCTable h;
+  if (!h.Build(hist)) return 0;
+  // Weight serialization: FSE-compressed when smaller (and the only
+  // option for alphabets whose top symbol exceeds 128 — the direct form
+  // lists at most 128 nibbles), else direct 4-bit nibbles.
+  const int nw = h.last_sym;
+  uint8_t wdesc[160];
+  int fse_n = WriteHufWeightsFse(h.weight, nw, wdesc + 1,
+                                 static_cast<int>(sizeof(wdesc)) - 1);
+  if (fse_n >= 128 || (nw <= 128 && fse_n >= 1 + (nw + 1) / 2)) fse_n = -1;
+  if (fse_n < 0 && nw > 128) return 0;
+  const int desc = fse_n > 0 ? 1 + fse_n : 1 + (nw + 1) / 2;
+  const int streams = L <= 1023 ? 1 : 4;
+  const int hdr = streams == 1 ? 3 : (L <= 16383 ? 4 : 5);
+  const int64_t est = hdr + desc + (streams == 4 ? 6 : 0) +
+                      h.PayloadBits(hist) / 8 + streams + 4;
+  const int raw_cost = (L < 32 ? 1 : (L < 4096 ? 2 : 3)) + L;
+  if (est >= raw_cost) return 0;
+
+  // Payload: tree description + (jump table) + streams.
+  thread_local std::vector<uint8_t> payload;
+  payload.resize(static_cast<size_t>(desc) + 6 +
+                 static_cast<size_t>(L) + 64);
+  uint8_t* q = payload.data();
+  if (fse_n > 0) {
+    wdesc[0] = static_cast<uint8_t>(fse_n);
+    std::memcpy(q, wdesc, desc);
+  } else {
+    q[0] = static_cast<uint8_t>(127 + nw);
+    for (int i = 0; i < nw; i += 2) {
+      const uint8_t hi = h.weight[i];
+      const uint8_t lo = i + 1 < nw ? h.weight[i + 1] : 0;
+      q[1 + i / 2] = static_cast<uint8_t>((hi << 4) | lo);
+    }
+  }
+  int plen = desc;
+  if (streams == 1) {
+    const int n1 = EncodeHufStream(h, lits, L, q + plen,
+                                   static_cast<int>(payload.size()) - plen);
+    if (n1 < 0) return 0;
+    plen += n1;
+  } else {
+    const int r123 = (L + 3) / 4;
+    const int r4 = L - 3 * r123;
+    if (r4 <= 0) return 0;
+    uint8_t* jump = q + plen;
+    plen += 6;
+    int sizes[4];
+    const uint8_t* parts[4] = {lits, lits + r123, lits + 2 * r123,
+                               lits + 3 * r123};
+    const int want[4] = {r123, r123, r123, r4};
+    for (int s = 0; s < 4; ++s) {
+      const int ns = EncodeHufStream(h, parts[s], want[s], q + plen,
+                                     static_cast<int>(payload.size()) - plen);
+      if (ns < 0) return 0;
+      sizes[s] = ns;
+      plen += ns;
+    }
+    for (int s = 0; s < 3; ++s) {
+      if (sizes[s] > 0xFFFF) return 0;
+      jump[2 * s] = static_cast<uint8_t>(sizes[s]);
+      jump[2 * s + 1] = static_cast<uint8_t>(sizes[s] >> 8);
+    }
+  }
+  const int csize = plen;
+  if (csize + 5 >= raw_cost) return 0;  // re-check with exact size
+
+  // Section header (type 2, Compressed_Literals_Block).
+  int d;
+  if (streams == 1) {
+    if (csize > 1023) return 0;
+    if (cap < 3 + csize) return -1;
+    dst[0] = static_cast<uint8_t>(2 | (0 << 2) | ((L & 0xF) << 4));
+    dst[1] = static_cast<uint8_t>((L >> 4) | ((csize & 3) << 6));
+    dst[2] = static_cast<uint8_t>(csize >> 2);
+    d = 3;
+  } else if (L <= 16383 && csize <= 16383) {
+    if (cap < 4 + csize) return -1;
+    dst[0] = static_cast<uint8_t>(2 | (2 << 2) | ((L & 0xF) << 4));
+    dst[1] = static_cast<uint8_t>((L >> 4) & 0xFF);
+    dst[2] = static_cast<uint8_t>(((L >> 12) & 3) | ((csize & 0x3F) << 2));
+    dst[3] = static_cast<uint8_t>(csize >> 6);
+    d = 4;
+  } else {
+    if (cap < 5 + csize) return -1;
+    dst[0] = static_cast<uint8_t>(2 | (3 << 2) | ((L & 0xF) << 4));
+    dst[1] = static_cast<uint8_t>((L >> 4) & 0xFF);
+    dst[2] = static_cast<uint8_t>(((L >> 12) & 0x3F) | ((csize & 3) << 6));
+    dst[3] = static_cast<uint8_t>((csize >> 2) & 0xFF);
+    dst[4] = static_cast<uint8_t>(csize >> 10);
+    d = 5;
+  }
+  std::memcpy(dst + d, payload.data(), csize);
+  return d + csize;
+}
+
 // Encode one compressed block's content (literals section + sequences
 // section) at dst; trailing literals [tlit, tlit+tll) follow the
-// sequences.  Returns content size or -1 on overflow/cap.
+// sequences.  rep[3] is the frame's repeat-offset state: it is updated
+// in place ONLY on success — the caller must snapshot/restore it when it
+// discards the encoded block for a raw fallback.  Returns content size
+// or -1 on overflow/cap.
 int EncodeBlockContent(const std::vector<EncSeq>& seqs, const uint8_t* tlit,
-                       int tll, uint8_t* dst, int cap) {
+                       int tll, uint8_t* dst, int cap, uint32_t rep[3]) {
   const PredefCTables& ct = Ctables();
   if (!ct.ok) return -1;
   int64_t lit_total = tll;
@@ -995,29 +1383,69 @@ int EncodeBlockContent(const std::vector<EncSeq>& seqs, const uint8_t* tlit,
   if (lit_total > (1 << 20) - 1) return -1;
   const int L = static_cast<int>(lit_total);
 
-  int d = 0;
-  // Literals section header, Raw_Literals_Block.
-  if (L < 32) {
-    if (cap < 1) return -1;
-    dst[d++] = static_cast<uint8_t>(L << 3);
-  } else if (L < 4096) {
-    if (cap < 2) return -1;
-    dst[d++] = static_cast<uint8_t>((1 << 2) | ((L & 0xF) << 4));
-    dst[d++] = static_cast<uint8_t>(L >> 4);
-  } else {
-    if (cap < 3) return -1;
-    dst[d++] = static_cast<uint8_t>((3 << 2) | ((L & 0xF) << 4));
-    dst[d++] = static_cast<uint8_t>((L >> 4) & 0xFF);
-    dst[d++] = static_cast<uint8_t>(L >> 12);
+  // Assemble the literal stream, then entropy-code it when profitable.
+  thread_local std::vector<uint8_t> litbuf;
+  litbuf.resize(static_cast<size_t>(L));
+  {
+    int lp = 0;
+    for (const EncSeq& s : seqs) {
+      std::memcpy(litbuf.data() + lp, s.lit, s.ll);
+      lp += static_cast<int>(s.ll);
+    }
+    if (tll > 0) std::memcpy(litbuf.data() + lp, tlit, tll);
   }
-  if (d + L > cap) return -1;
-  for (const EncSeq& s : seqs) {
-    std::memcpy(dst + d, s.lit, s.ll);
-    d += static_cast<int>(s.ll);
+  int d = EncodeLiteralsSection(litbuf.data(), L, dst, cap);
+  if (d < 0) return -1;
+  if (d == 0) {
+    // Raw_Literals_Block.
+    if (L < 32) {
+      if (cap < 1) return -1;
+      dst[d++] = static_cast<uint8_t>(L << 3);
+    } else if (L < 4096) {
+      if (cap < 2) return -1;
+      dst[d++] = static_cast<uint8_t>((1 << 2) | ((L & 0xF) << 4));
+      dst[d++] = static_cast<uint8_t>(L >> 4);
+    } else {
+      if (cap < 3) return -1;
+      dst[d++] = static_cast<uint8_t>((3 << 2) | ((L & 0xF) << 4));
+      dst[d++] = static_cast<uint8_t>((L >> 4) & 0xFF);
+      dst[d++] = static_cast<uint8_t>(L >> 12);
+    }
+    if (d + L > cap) return -1;
+    std::memcpy(dst + d, litbuf.data(), L);
+    d += L;
   }
-  if (tll > 0) {
-    std::memcpy(dst + d, tlit, tll);
-    d += tll;
+
+  // Repeat-offset mapping must walk sequences FORWARD (the bitstream is
+  // written in reverse): mirror of the decoder's rep update rules.
+  thread_local std::vector<uint32_t> offbases;
+  offbases.resize(seqs.size());
+  uint32_t r0 = rep[0], r1 = rep[1], r2 = rep[2];
+  for (size_t i = 0; i < seqs.size(); ++i) {
+    const uint32_t off = seqs[i].off;
+    uint32_t ob;
+    if (seqs[i].ll > 0) {
+      if (off == r0) {
+        ob = 1;
+      } else if (off == r1) {
+        ob = 2; r1 = r0; r0 = off;
+      } else if (off == r2) {
+        ob = 3; r2 = r1; r1 = r0; r0 = off;
+      } else {
+        ob = off + 3; r2 = r1; r1 = r0; r0 = off;
+      }
+    } else {
+      if (off == r1) {
+        ob = 1; r1 = r0; r0 = off;
+      } else if (off == r2) {
+        ob = 2; r2 = r1; r1 = r0; r0 = off;
+      } else if (r0 > 1 && off == r0 - 1) {
+        ob = 3; r2 = r1; r1 = r0; r0 = off;
+      } else {
+        ob = off + 3; r2 = r1; r1 = r0; r0 = off;
+      }
+    }
+    offbases[i] = ob;
   }
 
   // Sequences section: count, modes, FSE bitstream.
@@ -1046,30 +1474,31 @@ int EncodeBlockContent(const std::vector<EncSeq>& seqs, const uint8_t* tlit,
   const EncSeq& last = seqs[nseq - 1];
   const int ll_c0 = LLCode(last.ll);
   const int ml_c0 = MLCode(last.ml);
-  const int of_c0 = HighBit(last.offbase);
+  const int of_c0 = HighBit(offbases[nseq - 1]);
   CState sml, sof, sll;
   sml.Init(ct.ml, ml_c0);
   sof.Init(ct.of, of_c0);
   sll.Init(ct.ll, ll_c0);
   bits.Add(last.ll - kLLBase[ll_c0], kLLBits[ll_c0]);
   bits.Add(last.ml - kMLBase[ml_c0], kMLBits[ml_c0]);
-  bits.Add(last.offbase - (1u << of_c0), of_c0);
+  bits.Add(offbases[nseq - 1] - (1u << of_c0), of_c0);
   for (int i = nseq - 2; i >= 0; --i) {
     const EncSeq& s = seqs[i];
     const int ll_c = LLCode(s.ll);
     const int ml_c = MLCode(s.ml);
-    const int of_c = HighBit(s.offbase);
+    const int of_c = HighBit(offbases[i]);
     sof.Encode(bits, ct.of, of_c);
     sml.Encode(bits, ct.ml, ml_c);
     sll.Encode(bits, ct.ll, ll_c);
     bits.Add(s.ll - kLLBase[ll_c], kLLBits[ll_c]);
     bits.Add(s.ml - kMLBase[ml_c], kMLBits[ml_c]);
-    bits.Add(s.offbase - (1u << of_c), of_c);
+    bits.Add(offbases[i] - (1u << of_c), of_c);
   }
   sml.Flush(bits, ct.ml);
   sof.Flush(bits, ct.of);
   sll.Flush(bits, ct.ll);
   if (!bits.Close()) return -1;
+  rep[0] = r0; rep[1] = r1; rep[2] = r2;
   return d + static_cast<int>(bits.p - (dst + d));
 }
 
@@ -1112,6 +1541,8 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
   int i = 0;
   int anchor = 0;
   int pending_off = 0;  // match continuation across a block cut
+  uint32_t rep[3] = {1, 4, 8};  // frame repeat-offset state (RFC 8878)
+  uint32_t last_off = 1;        // previous accepted offset (== live rep0)
 
   for (int b0 = 0; b0 < src_len; b0 += kZBlockMax) {
     const int b1 = b0 < src_len - kZBlockMax ? b0 + kZBlockMax : src_len;
@@ -1124,13 +1555,37 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
       while (i + ml < lim && src[i + ml] == src[i - pending_off + ml]) ++ml;
       if (ml >= 3) {
         seqs.push_back(EncSeq{src + anchor, 0,
-                              static_cast<uint32_t>(pending_off) + 3,
+                              static_cast<uint32_t>(pending_off),
                               static_cast<uint32_t>(ml)});
+        last_off = static_cast<uint32_t>(pending_off);
         i += ml;
         anchor = i;
       }
     }
     pending_off = 0;
+
+    // Sampled literal-entropy estimate (1/8-bit units per byte) for the
+    // match-acceptance cost model: a match is only worth coding when the
+    // sequence bits it costs beat the Huffman bits its bytes would take.
+    int hbits8 = 64;
+    {
+      uint32_t shist[256] = {0};
+      int scount = 0;
+      for (int t = b0; t < b1; t += 4) {
+        ++shist[src[t]];
+        ++scount;
+      }
+      if (scount > 16) {
+        double hsum = 0.0;
+        for (int s2 = 0; s2 < 256; ++s2) {
+          if (!shist[s2]) continue;
+          const double p = static_cast<double>(shist[s2]) / scount;
+          hsum -= p * std::log2(p);
+        }
+        hbits8 = static_cast<int>(hsum * 8.0 + 0.5);
+        if (hbits8 < 1) hbits8 = 1;
+      }
+    }
 
     int misses = 0;
     while (i < b1 && i < mflimit) {
@@ -1147,7 +1602,6 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
         i += 1 + (misses++ >> 6);
         continue;
       }
-      misses = 0;
       const int off = i - cand;
       // Extend forward, capped at the block boundary (a sequence decodes
       // entirely within its block) and the frame match limit.
@@ -1165,10 +1619,24 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
         --cstart;
         ++mlen;
       }
+      // Marginal-match cost model: sequence bits (~12 predefined-FSE bits
+      // for the ll/ml/of symbol triple + offset extra bits) must beat the
+      // entropy-coded literal bits the match displaces.  On 4-bit/byte
+      // data this rejects the len-4/5 match flood that both bloated the
+      // stream and defeated the miss-skip acceleration (0.08 GB/s).
+      const int cost8 = 8 * (12 + (static_cast<uint32_t>(off) == last_off
+                                       ? 1
+                                       : HighBit(static_cast<uint32_t>(off) + 3)));
+      if (mlen * hbits8 <= cost8) {
+        i += 1 + (misses++ >> 6);
+        continue;
+      }
+      misses = 0;  // reset only on ACCEPT so rejects feed skip acceleration
       seqs.push_back(EncSeq{src + anchor,
                             static_cast<uint32_t>(mstart - anchor),
-                            static_cast<uint32_t>(off) + 3,
+                            static_cast<uint32_t>(off),
                             static_cast<uint32_t>(mlen)});
+      last_off = static_cast<uint32_t>(off);
       i = mstart + mlen;
       anchor = i;
       if (i == b1 && i + 3 <= matchlimit &&
@@ -1184,12 +1652,15 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
     if (d + 3 > dst_cap) return BT_ERR_CAPACITY;
     const int tll = b1 - anchor;          // trailing literals
     int csize = -1;
-    if (!seqs.empty()) {
+    // EncodeBlockContent commits rep on encode success; a raw fallback
+    // below must see the pre-block state (raw blocks don't touch rep).
+    const uint32_t rep_snap[3] = {rep[0], rep[1], rep[2]};
+    if (!seqs.empty() || tll >= 64) {
       const int budget = (d + 3 + decoded <= dst_cap ? decoded
                                                      : dst_cap - d - 3) - 1;
       if (budget > 0) {
         csize = EncodeBlockContent(seqs, src + anchor, tll, dst + d + 3,
-                                   budget);
+                                   budget, rep);
       }
     }
     if (csize > 0 && csize < decoded) {
@@ -1209,6 +1680,8 @@ int ZstdCompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap) {
       std::memcpy(dst + d + 3, src + b0, decoded);
       d += 3 + decoded;
       pending_off = 0;
+      rep[0] = rep_snap[0]; rep[1] = rep_snap[1]; rep[2] = rep_snap[2];
+      last_off = rep[0];
     }
     if (anchor < b1) anchor = b1;
     if (i < b1) i = b1;
