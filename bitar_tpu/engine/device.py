@@ -126,11 +126,14 @@ class CompressedUnit:
     _planned: bool = field(default=False, repr=False)
 
     def plan_device_arrays(self):
-        """The unit's flat plan (se, shift) as device arrays, uploaded once
-        and shared by every decode launch of this unit."""
+        """The unit's flat plan (se, shift, dq, row_a) as device arrays,
+        uploaded once and shared by every decode launch of this unit."""
         if self._plan_dev is None:
-            self._plan_dev = (jnp.asarray(self.plan_flat["se"]),
-                              jnp.asarray(self.plan_flat["shift"]))
+            p = self.plan_flat
+            self._plan_dev = (jnp.asarray(p["se"]), jnp.asarray(p["shift"]),
+                              jnp.asarray(p["dq"]) if "dq" in p else None,
+                              jnp.asarray(p["row_a"]) if "row_a" in p
+                              else None)
         return self._plan_dev
 
     @property
@@ -500,12 +503,12 @@ class Engine:
         chunk = self._PLAN_CHUNK_BLOCKS
 
         def plan_all(brows: int):
-            ctxs, pus, p0s, oks, lus = [], [], [], [], []
+            ctxs, pus, p0s, oks, lus, dqs, ras, dss = ([] for _ in range(8))
             for s in range(0, n, chunk):
                 e = min(n, s + chunk)
                 lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
                          if lit_out is not None else None)
-                ctx, pu, p0c, st, lu = native.plan_batch_begin(
+                ctx, pu, p0c, st, lu, dq, ra, ds = native.plan_batch_begin(
                     staging[s:e].reshape(-1),
                     np.arange(e - s, dtype=np.int64) * slot,
                     manifest.comp_len[s:e], manifest.raw_len[s:e],
@@ -516,19 +519,25 @@ class Engine:
                 okc = st == 0
                 pu[~okc] = 0
                 p0c[~okc] = 0
+                ds[~okc] = 0
                 ctxs.append((ctx, s, e))
                 pus.append(pu)
                 p0s.append(p0c)
                 oks.append(okc)
                 lus.append(lu)
+                dqs.append(dq)
+                ras.append(ra)
+                dss.append(ds)
             return (ctxs, np.concatenate(pus), np.concatenate(p0s),
-                    np.concatenate(oks), np.concatenate(lus))
+                    np.concatenate(oks), np.concatenate(lus),
+                    np.concatenate(dqs), np.concatenate(ras),
+                    np.concatenate(dss))
 
         def abort_all(ctxs):
             for ctx, _, _ in ctxs:
                 native.plan_batch_abort(ctx)
 
-        ctxs, p_used, p0, ok, lit_used = plan_all(band_rows)
+        ctxs, p_used, p0, ok, lit_used, dq, row_a, dense = plan_all(band_rows)
         if band_rows and not ok.all():
             # Some block only fails under the band constraint: re-plan
             # unbanded so banding (an optimization) never shrinks device
@@ -537,7 +546,7 @@ class Engine:
             # banding uniform (the kernel's band promise is per launch).
             abort_all(ctxs)
             band_rows = 0
-            ctxs, p_used, p0, ok, lit_used = plan_all(0)
+            ctxs, p_used, p0, ok, lit_used, dq, row_a, dense = plan_all(0)
         if not ok.any():
             abort_all(ctxs)
             return None               # nothing plannable: fallback paths
@@ -556,7 +565,14 @@ class Engine:
             native.plan_batch_pack(ctx, p_off[s:e], se, sh)
         plans = {"p_used": p_used.astype(np.int32),
                  "p_off": p_off.astype(np.int32),
-                 "p0": p0.astype(np.int32), "se": se, "shift": sh}
+                 "p0": p0.astype(np.int32), "se": se, "shift": sh,
+                 # Dense comp-pass planes (plan.cc Densify): per-byte
+                 # (qlane, drow) wire + per-row anchor, pre-transposed to
+                 # the kernel's [128, tiles] column layout.
+                 "dq": dq,
+                 "row_a": np.ascontiguousarray(
+                     row_a.reshape(n, tiles, LANES).transpose(0, 2, 1)),
+                 "dense": dense.astype(np.int32)}
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).
@@ -751,7 +767,8 @@ class Engine:
         comp_rows = unit.plan_comp_rows
         n = unit.nblocks
         plans = unit.plan_flat
-        se_dev, shift_dev = unit.plan_device_arrays()
+        se_dev, shift_dev, dq_dev, ra_dev = unit.plan_device_arrays()
+        dense_np = plans.get("dense")
         lit_planes = plans.get("lit_planes") or {}
         lit_dev = None
         lit_pos = {}
@@ -786,9 +803,20 @@ class Engine:
                 ks = [lit_pos[chunk[j]] for j in js]
                 planes = planes.at[jnp.asarray(js)].set(
                     lit_dev[jnp.asarray(ks)])
+            if dq_dev is None:
+                dq_b = ra_b = dn_b = None
+            else:
+                dq_b, ra_b = dq_dev[start:stop], ra_dev[start:stop]
+                if nb < burst:          # pad blocks: dense flag 0, never read
+                    pad = ((0, burst - nb), (0, 0), (0, 0))
+                    dq_b, ra_b = jnp.pad(dq_b, pad), jnp.pad(ra_b, pad)
+                dn = np.zeros(burst, np.int32)
+                dn[:nb] = dense_np[start:stop]
+                dn_b = jnp.asarray(dn)
             result = decode_blocks_flat(
                 planes, jnp.asarray(p_used), jnp.asarray(p_off),
                 jnp.asarray(p0), se_dev, shift_dev, plans.get("bands"),
+                dq_b, ra_b, dn_b,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
@@ -834,7 +862,9 @@ class Engine:
         p_used = jnp.asarray(plans["p_used"])
         p_off = jnp.asarray(plans["p_off"])
         p0 = jnp.asarray(plans["p0"])
-        se_dev, shift_dev = unit.plan_device_arrays()
+        se_dev, shift_dev, dq_dev, ra_dev = unit.plan_device_arrays()
+        dense_dev = (jnp.asarray(plans["dense"])
+                     if dq_dev is not None else None)
 
         bands = plans.get("bands")
 
@@ -843,6 +873,7 @@ class Engine:
         def launch():
             return decode_blocks_flat(
                 planes, p_used, p_off, p0, se_dev, shift_dev, bands,
+                dq_dev, ra_dev, dense_dev,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),

@@ -152,13 +152,21 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * window (8-aligned base) so the device kernel can gather with a single
  * static-K matmul per pass; band_rows = 0 means unconstrained and
  * band_tile <= 0 defaults to 1024 (the kernel's default M-tile). */
+/* dq/row_a/dense: dense comp-pass planes (per-byte wire, see plan.cc
+ * Planner::Densify) — dq int16 [nblocks][nrows*128] packs
+ * active<<9 | drow<<7 | src_lane per output byte, row_a int32
+ * [nblocks][nrows] the per-row anchor source row (byte source row =
+ * row_a + drow, drow <= 2), dense int32 [nblocks] nonzero when the
+ * block has dense bytes.  Comp cells inside the 3-row window leave the
+ * pass schedule; the device executes them in one gather. */
 void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int nblocks, const uint8_t* src, const int64_t* src_off,
                    const int32_t* src_len, const int32_t* out_len, int nrows,
                    int max_passes, int split_limit, int cb, int band_rows,
                    int band_tile, int16_t* se, int32_t* shift,
                    int32_t* p_used, int32_t* p0, int32_t* status,
-                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used);
+                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used,
+                   int16_t* dq, int32_t* row_a, int32_t* dense);
 
 /* Two-phase variant: plan with compact per-block buffers (memory scales
  * with the actual plan, not nblocks*max_passes), then pack each block's
@@ -172,7 +180,8 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                           int split_limit, int cb, int band_rows,
                           int band_tile, int32_t* p_used, int32_t* p0,
                           int32_t* status, uint8_t* lit_out,
-                          int64_t lit_stride, int32_t* lit_used);
+                          int64_t lit_stride, int32_t* lit_used,
+                          int16_t* dq, int32_t* row_a, int32_t* dense);
 void bt_plan_batch_pack(void* ctx, int nthreads, const int64_t* p_off,
                         int16_t* se, int32_t* shift);
 void bt_plan_batch_abort(void* ctx);

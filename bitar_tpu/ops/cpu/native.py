@@ -23,7 +23,7 @@ _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -85,7 +85,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
         i16p, i32p, i32p, i32p, i32p,
-        u8p, ctypes.c_int64, i32p]
+        u8p, ctypes.c_int64, i32p,
+        i16p, i32p, i32p]
     lib.bt_plan_batch_begin.restype = ctypes.c_void_p
     lib.bt_plan_batch_begin.argtypes = [
         ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
@@ -93,7 +94,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
         i32p, i32p, i32p,
-        u8p, ctypes.c_int64, i32p]
+        u8p, ctypes.c_int64, i32p,
+        i16p, i32p, i32p]
     lib.bt_plan_batch_pack.restype = None
     lib.bt_plan_batch_pack.argtypes = [
         ctypes.c_void_p, ctypes.c_int, i64p, i16p, i32p]
@@ -380,6 +382,9 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
+    dq = np.zeros((n, nrows, 128), np.int16)
+    row_a = np.zeros((n, nrows), np.int32)
+    dense = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     load().bt_plan_batch(
         0, _i32ptr(np.ascontiguousarray(codec_ids, np.int32)), nthreads, n,
@@ -390,8 +395,9 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
         se.ctypes.data_as(i16p), _i32ptr(shift), _i32ptr(p_used),
         _i32ptr(p0), _i32ptr(status),
         _u8ptr(lit_out) if lit_out is not None else None,
-        lit_stride, _i32ptr(lit_used))
-    return se, shift, p_used, p0, status, lit_used
+        lit_stride, _i32ptr(lit_used),
+        dq.ctypes.data_as(i16p), _i32ptr(row_a), _i32ptr(dense))
+    return se, shift, p_used, p0, status, lit_used, dq, row_a, dense
 
 
 def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
@@ -418,6 +424,10 @@ def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
+    dq = np.zeros((n, nrows, 128), np.int16)
+    row_a = np.zeros((n, nrows), np.int32)
+    dense = np.zeros(n, np.int32)
+    i16p = ctypes.POINTER(ctypes.c_int16)
     ctx = load().bt_plan_batch_begin(
         0, _i32ptr(np.ascontiguousarray(codec_ids, np.int32)), nthreads, n,
         _u8ptr(src), _i64ptr(np.ascontiguousarray(src_off, np.int64)),
@@ -426,8 +436,9 @@ def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
         nrows, max_passes, split_limit, cb, band_rows, band_tile,
         _i32ptr(p_used), _i32ptr(p0), _i32ptr(status),
         _u8ptr(lit_out) if lit_out is not None else None,
-        lit_stride, _i32ptr(lit_used))
-    return ctx, p_used, p0, status, lit_used
+        lit_stride, _i32ptr(lit_used),
+        dq.ctypes.data_as(i16p), _i32ptr(row_a), _i32ptr(dense))
+    return ctx, p_used, p0, status, lit_used, dq, row_a, dense
 
 
 def plan_batch_pack(ctx, p_off: np.ndarray, se: np.ndarray,

@@ -286,13 +286,7 @@ class Planner {
 
   int Schedule(int nrows, int max_passes, int* p0_out, int band_rows = 0,
                int band_tile = kTileRows) {
-    // Allocate cell pass storage.
-    size_t total_cells = 0;
-    for (Frag& f : frags_) {
-      f.cell_base = static_cast<int32_t>(total_cells);
-      total_cells += (f.dst + f.len - 1) / 128 - f.dst / 128 + 1;
-    }
-    cell_pass_.assign(total_cells, 0);
+    AllocCells();
 
     const int ntiles = (nrows + band_tile - 1) / band_tile;
     std::vector<Band> bands;
@@ -312,6 +306,7 @@ class Planner {
       const int r0 = f.dst / 128;
       const int r1 = (f.dst + f.len - 1) / 128;
       for (int r = r0; r <= r1; ++r) {
+        if (cell_is_dense(f.cell_base + (r - r0))) continue;
         int pass;
         if (band_rows > 0) {
           const int32_t cell_lo = std::max(f.dst, r * 128);
@@ -405,6 +400,108 @@ class Planner {
   std::vector<Frag>& frags() { return frags_; }
   const std::vector<int32_t>& cell_pass() const { return cell_pass_; }
 
+  // --- Dense comp pass (v4 wire) -------------------------------------
+  //
+  // Comp-sourced cells of one output row usually source a tiny ascending
+  // window of the comp plane (a row's literals span ~compressed-row-size
+  // bytes).  Those cells move OFF the pass schedule entirely: the device
+  // executes them all in ONE "dense" pass from a per-byte wire
+  //
+  //   dq[p] = active(bit 9) | drow(bits 7..8) | src_lane(bits 0..6)
+  //   row_a[r] = anchor source row; byte src row = row_a + drow (drow<=2)
+  //
+  // gathered through a triple-paired source plane (rows a, a+1, a+2) —
+  // one matmul + per-byte select replaces up to ~56 scheduled comp
+  // passes on low-entropy data (measured: lowent 128 KiB blocks needed
+  // 56 comp passes of ~2.9 us each; the dense pass costs ~1-2 passes).
+  //
+  // Cell selection: per row, anchor the 3-row window at the comp row
+  // covering the most bytes (cells outside stay on the classic
+  // schedule).  Must run before Schedule(); fills cell_dense_ (parallel
+  // to cell_pass_) and the caller-provided planes.
+  void Densify(int nrows, int16_t* dq, int32_t* row_a, int32_t* dense_out) {
+    AllocCells();
+    cell_dense_.assign(cell_pass_.size(), 0);
+    std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
+    std::memset(row_a, 0, sizeof(int32_t) * static_cast<size_t>(nrows));
+    *dense_out = 0;
+
+    struct Cell { int32_t frag; int32_t lo, hi; int32_t srlo, srhi; };
+    static thread_local std::vector<Cell> cells;
+    static thread_local std::vector<int32_t> row_head;
+    cells.clear();
+    row_head.assign(static_cast<size_t>(nrows) + 1, 0);
+
+    // Bucket comp cells by row (fragments are dst-ordered, so cells
+    // arrive row-sorted per row; counting sort by row).
+    for (int fi = 0; fi < static_cast<int>(frags_.size()); ++fi) {
+      const Frag& f = frags_[fi];
+      if (f.out_space != kComp) continue;
+      const int r0 = f.dst / 128;
+      const int r1 = (f.dst + f.len - 1) / 128;
+      for (int r = r0; r <= r1 && r < nrows; ++r) {
+        const int32_t lo = std::max(f.dst, r * 128);
+        const int32_t hi = std::min(f.dst + f.len, (r + 1) * 128);
+        cells.push_back({fi, lo, hi, (lo + f.shift) >> 7,
+                         (hi - 1 + f.shift) >> 7});
+        ++row_head[r + 1];
+      }
+    }
+    if (cells.empty()) return;
+    for (int r = 0; r < nrows; ++r) row_head[r + 1] += row_head[r];
+    // cells were appended fragment-major = dst-major = row-major already,
+    // so [row_head[r], row_head[r+1]) is exactly row r's slice.
+
+    int64_t dense_bytes = 0;
+    for (int r = 0; r < nrows; ++r) {
+      const int b0 = row_head[r], b1 = row_head[r + 1];
+      if (b0 == b1) continue;
+      // Anchor = cell srlo maximizing covered bytes in [a, a+2].
+      int32_t best_a = -1;
+      int64_t best_cov = 0;
+      for (int i = b0; i < b1; ++i) {
+        const int32_t a = cells[i].srlo;
+        int64_t cov = 0;
+        for (int j = b0; j < b1; ++j) {
+          if (cells[j].srlo >= a && cells[j].srhi <= a + 2) {
+            cov += cells[j].hi - cells[j].lo;
+          }
+        }
+        if (cov > best_cov) { best_cov = cov; best_a = a; }
+      }
+      if (best_a < 0) continue;
+      row_a[r] = best_a;
+      for (int i = b0; i < b1; ++i) {
+        const Cell& c = cells[i];
+        if (c.srlo < best_a || c.srhi > best_a + 2) continue;
+        const Frag& f = frags_[c.frag];
+        const int fr0 = f.dst / 128;
+        cell_dense_[f.cell_base + (r - fr0)] = 1;
+        for (int32_t p = c.lo; p < c.hi; ++p) {
+          const int32_t src = p + f.shift;
+          const int32_t drow = (src >> 7) - best_a;
+          dq[p] = static_cast<int16_t>(512 | (drow << 7) | (src & 127));
+        }
+        dense_bytes += c.hi - c.lo;
+      }
+    }
+    *dense_out = dense_bytes > 0 ? 1 : 0;
+  }
+
+  bool cell_is_dense(size_t idx) const {
+    return !cell_dense_.empty() && cell_dense_[idx];
+  }
+
+  void AllocCells() {
+    if (!cell_pass_.empty()) return;
+    size_t total_cells = 0;
+    for (Frag& f : frags_) {
+      f.cell_base = static_cast<int32_t>(total_cells);
+      total_cells += (f.dst + f.len - 1) / 128 - f.dst / 128 + 1;
+    }
+    cell_pass_.assign(total_cells, -1);
+  }
+
  private:
   // Mark ``idx`` as the first fragment of every row [dst, dst+len)
   // touches that has no earlier fragment (append order = dst order).
@@ -418,6 +515,7 @@ class Planner {
 
   std::vector<Frag> frags_;
   std::vector<int32_t> cell_pass_;
+  std::vector<uint8_t> cell_dense_;
   std::vector<int32_t> row_idx_;
 };
 
@@ -541,7 +639,8 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
                 int band_rows, int band_tile, std::vector<int16_t>* se_v,
                 std::vector<int32_t>* shift_v, int32_t* p_used_out,
                 int32_t* p0_out, uint8_t* lit_out, int lit_cap,
-                int32_t* lit_used_out) {
+                int32_t* lit_used_out, int16_t* dq, int32_t* row_a,
+                int32_t* dense_out) {
   if (out_len < 0 || static_cast<int64_t>(out_len) > static_cast<int64_t>(nrows) * 128) {
     return BT_ERR_INVALID;
   }
@@ -549,25 +648,23 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   const auto pad = [cb](int v) { return (v + cb - 1) / cb * cb; };
 
   if (codec == BT_CODEC_RAW) {
-    // Identity copy: row r sources row r, so one pass's source band per
-    // M-tile is the tile itself — with a band constraint the tile must
-    // split into ceil(tile/band_rows) passes of band_rows rows each.
+    // Identity copy = a pure dense pass: row r sources row r (drow 0,
+    // src lane = lane).  Zero scheduled passes.
+    std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
+    std::memset(row_a, 0, sizeof(int32_t) * static_cast<size_t>(nrows));
     const int rows_used = (out_len + 127) / 128;
-    const int tile = band_tile;
-    const int kb = band_rows > 0 ? band_rows : tile;
-    const int npass = (std::min(rows_used, tile) + kb - 1) / kb;
-    const int total = std::max(cb, pad(npass));
-    if (total > max_passes) return BT_ERR_CAPACITY;
-    se_v->assign(static_cast<size_t>(total) * nrows, 0);
-    shift_v->assign(static_cast<size_t>(total) * nrows, 0);
-    int16_t* se = se_v->data();
     for (int r = 0; r < rows_used; ++r) {
       const int end = std::min(128, out_len - r * 128);
-      const int pass = (r % tile) / kb;
-      se[static_cast<size_t>(pass) * nrows + r] = static_cast<int16_t>(end);
+      row_a[r] = r;
+      for (int l = 0; l < end; ++l) {
+        dq[static_cast<size_t>(r) * 128 + l] = static_cast<int16_t>(512 | l);
+      }
     }
-    *p_used_out = total;
-    *p0_out = total;
+    *dense_out = out_len > 0 ? 1 : 0;
+    se_v->clear();
+    shift_v->clear();
+    *p_used_out = 0;
+    *p0_out = 0;
     return BT_OK;
   }
   if (codec != BT_CODEC_LZ4 && codec != BT_CODEC_SNAPPY &&
@@ -624,12 +721,14 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   }
   if (covered != out_len) return BT_ERR_IO;
 
+  planner.Densify(nrows, dq, row_a, dense_out);
+
   int p0 = 0;
   const int total = planner.Schedule(nrows, budget, &p0, band_rows,
                                      band_tile);
   if (total < 0) return BT_ERR_CAPACITY;
 
-  const int p0_pad = std::max(cb, pad(p0));
+  const int p0_pad = pad(p0);
   const int total_pad = p0_pad + pad(total - p0);
   if (total_pad > max_passes) return BT_ERR_CAPACITY;
   se_v->assign(static_cast<size_t>(total_pad) * nrows, 0);
@@ -641,6 +740,7 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
     const int r0 = f.dst / 128;
     const int r1 = (f.dst + f.len - 1) / 128;
     for (int r = r0; r <= r1 && r < nrows; ++r) {
+      if (planner.cell_is_dense(f.cell_base + (r - r0))) continue;
       int pass = planner.cell_pass()[f.cell_base + (r - r0)];
       if (f.out_space) pass = p0_pad + (pass - p0);
       const size_t cell = static_cast<size_t>(pass) * nrows + r;
@@ -701,6 +801,9 @@ extern "C" {
 // smaller with less comp-space resolution).  Returns an opaque context
 // for bt_plan_batch_pack / bt_plan_batch_abort (never NULL for
 // nblocks > 0; NULL for nblocks <= 0).
+// dq / row_a / dense are the dense-pass planes (see Planner::Densify):
+// dq int16 [nblocks][nrows*128], row_a int32 [nblocks][nrows], dense
+// int32 [nblocks] (1 when the block has any dense bytes).
 void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                           int nblocks, const uint8_t* src,
                           const int64_t* src_off, const int32_t* src_len,
@@ -708,7 +811,8 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                           int split_limit, int cb, int band_rows,
                           int band_tile, int32_t* p_used, int32_t* p0,
                           int32_t* status, uint8_t* lit_out,
-                          int64_t lit_stride, int32_t* lit_used) {
+                          int64_t lit_stride, int32_t* lit_used,
+                          int16_t* dq, int32_t* row_a, int32_t* dense) {
   if (nblocks <= 0) return nullptr;
   auto ctx = std::make_unique<BtPlanCtx>();
   ctx->nrows = nrows;
@@ -726,20 +830,23 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
     int32_t* lit_used_i = lit_used != nullptr ? lit_used + i : nullptr;
     int32_t lit_scratch = 0;
     if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
+    int16_t* dq_i = dq + static_cast<size_t>(i) * nrows * 128;
+    int32_t* row_a_i = row_a + static_cast<size_t>(i) * nrows;
     int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                          max_passes, split_limit, cb, band_rows, band_tile,
                          &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
-                         lit_cap_i, lit_used_i);
+                         lit_cap_i, lit_used_i, dq_i, row_a_i, dense + i);
     if (rc == BT_ERR_CAPACITY && split_limit != 2) {
       rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                        max_passes, /*split_limit=*/2, cb, band_rows, band_tile,
                        &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
-                       lit_cap_i, lit_used_i);
+                       lit_cap_i, lit_used_i, dq_i, row_a_i, dense + i);
     }
     status[i] = rc;
     if (rc != BT_OK) {
       p_used[i] = 0;
       p0[i] = 0;
+      dense[i] = 0;
       c_->se[i].clear();
       c_->shift[i].clear();
     }
@@ -781,12 +888,13 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int max_passes, int split_limit, int cb, int band_rows,
                    int band_tile, int16_t* se, int32_t* shift,
                    int32_t* p_used, int32_t* p0, int32_t* status,
-                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used) {
+                   uint8_t* lit_out, int64_t lit_stride, int32_t* lit_used,
+                   int16_t* dq, int32_t* row_a, int32_t* dense) {
   if (nblocks <= 0) return;
   void* ctx = bt_plan_batch_begin(
       codec, codec_ids, nthreads, nblocks, src, src_off, src_len, out_len,
       nrows, max_passes, split_limit, cb, band_rows, band_tile, p_used, p0,
-      status, lit_out, lit_stride, lit_used);
+      status, lit_out, lit_stride, lit_used, dq, row_a, dense);
   std::vector<int64_t> p_off(static_cast<size_t>(nblocks));
   for (int i = 0; i < nblocks; ++i) {
     p_off[i] = static_cast<int64_t>(i) * max_passes;

@@ -82,11 +82,12 @@ def _colcast(vt, t0: int, nt: int):
     return jnp.concatenate(cols, axis=0) if nt > 1 else cols[0]
 
 
-def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
+def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
+                 se_ref, shift_ref, dq_ref, row_a_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, prefetch: bool,
                  plans_vmem: bool, banded: bool, static_bands: bool,
-                 mt_max: int):
+                 with_dense: bool, mt_max: int):
     if plans_vmem:
         se_buf = shift_buf = sems = None
     else:
@@ -115,7 +116,10 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
 
     comp_i8 = comp_ref[0]
     comp_sc[:, 0:LANES] = comp_i8
-    comp_sc[:, LANES:] = jnp.roll(comp_i8, -1, axis=0)
+    comp_sc[:, LANES:2 * LANES] = jnp.roll(comp_i8, -1, axis=0)
+    if with_dense:
+        # Third pane (row + 2) for the dense pass's 3-row source window.
+        comp_sc[:, 2 * LANES:] = jnp.roll(comp_i8, -2, axis=0)
 
     # All per-pass work is M-tiled at MT rows so VMEM transients stay
     # bounded regardless of block size (a [nrows, *] int32 working set
@@ -205,7 +209,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
                 # inactive pass carries band 0 and gathers garbage that
                 # the all-false active mask discards.
                 oh = (kiota_b == (row_a - b0)).astype(jnp.int8)
-                src = src_ref[pl.ds(pl.multiple_of(b0, 8), KB), :]
+                src = src_ref[pl.ds(pl.multiple_of(b0, 8), KB), 0:2 * LANES]
                 acc = jnp.dot(oh, src, preferred_element_type=jnp.int32)
             else:
                 bcnt = lax.bitwise_and(band, 0xFF)
@@ -215,7 +219,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
                     oh = (kiota_b == (row_a - k0)).astype(jnp.int8)
                     # base is 8-aligned by host construction; Mosaic needs
                     # the hint to emit an aligned sublane load.
-                    src = src_ref[pl.ds(pl.multiple_of(k0, 8), KB), :]
+                    src = src_ref[pl.ds(pl.multiple_of(k0, 8), KB),
+                                  0:2 * LANES]
                     return acc + jnp.dot(oh, src,
                                          preferred_element_type=jnp.int32)
 
@@ -231,7 +236,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
                 # on comp_rows = 1280 planes).
                 kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
                 oh = (kio == (row_a - ck)).astype(jnp.int8)
-                acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, :],
+                acc = acc + jnp.dot(oh, src_ref[ck:ck + kc, 0:2 * LANES],
                                     preferred_element_type=jnp.int32)
         v_a = jnp.take_along_axis(acc[:, :LANES], qlane, axis=1)
         v_b = jnp.take_along_axis(acc[:, LANES:], qlane, axis=1)
@@ -319,6 +324,40 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
         @pl.when(nchunks > 0)
         def _():
             fetch(0, 0)
+
+    if with_dense:
+        # --- Dense comp pass: every comp cell whose 3-row source window
+        # anchors at row_a executes here from the per-byte wire (see
+        # plan.cc Densify) — ONE gather + select replaces up to ~56
+        # scheduled comp passes on fragment-dense (low-entropy) data.
+        @pl.when(dense_ref[b] != 0)
+        def _dense():
+            vt_ra = row_a_ref[0]                       # [128, tiles] int32
+            for mt in range(0, nrows, MT):
+                t0 = mt // LANES
+                nt = MT // LANES
+                ra = _colcast(vt_ra, t0, nt)           # [MT, 128]
+                ra1 = ra[:, 0:1]
+                v = dq_ref[0][mt:mt + MT].astype(jnp.int32)
+                active = lax.bitwise_and(v, 512) != 0
+                qlane = lax.bitwise_and(v, LANES - 1)
+                dr = lax.bitwise_and(lax.shift_right_logical(v, 7), 3)
+                acc = jnp.zeros((MT, 3 * LANES), jnp.int32)
+                for ck in range(0, comp_rows, KC):
+                    kc = min(KC, comp_rows - ck)
+                    kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
+                    oh = (kio == (ra1 - ck)).astype(jnp.int8)
+                    acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
+                                        preferred_element_type=jnp.int32)
+                va = jnp.take_along_axis(acc[:, 0:LANES], qlane, axis=1)
+                vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane,
+                                         axis=1)
+                vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane, axis=1)
+                val = jnp.where(dr == 0, va, jnp.where(dr == 1, vb, vc))
+                cur = out_sc[mt:mt + MT, 0:LANES]
+                out_sc[mt:mt + MT, 0:LANES] = jnp.where(
+                    active, val.astype(jnp.int8), cur)
+
     lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
     # Comp batches skip mirror upkeep; sync once before the out phase.
     out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
@@ -332,7 +371,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, bands_ref, se_ref, shift_ref,
     static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth",
                      "mt_max", "static_bands"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
-                       bands=None, *, comp_rows: int, out_rows: int,
+                       bands=None, dq=None, row_a=None, dense=None, *,
+                       comp_rows: int, out_rows: int,
                        interpret: bool = False, pipeline_depth: int = 2,
                        mt_max: int = _MT_MAX, static_bands: bool = False):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
@@ -370,6 +410,13 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     if not banded:
         bands = jnp.zeros(1, jnp.int32)       # placeholder, never read
     n = comp.shape[0]
+    with_dense = dq is not None
+    assert with_dense == (row_a is not None) == (dense is not None), \
+        "dq/row_a/dense travel together"
+    if not with_dense:                        # placeholders, never read
+        dq = jnp.zeros((1, 8, 128), jnp.int16)
+        row_a = jnp.zeros((1, 8, 128), jnp.int32)
+        dense = jnp.zeros(n, jnp.int32)
     nrows = out_rows
     assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
     assert comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows"
@@ -399,24 +446,39 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
             pltpu.VMEM((2 * DCHUNK, tiles, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
+    if with_dense:
+        dense_specs = [
+            pl.BlockSpec((1,) + dq.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        dense_specs = [
+            pl.BlockSpec((1,) + dq.shape[1:], lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n,),
-        in_specs=plan_specs + [
+        in_specs=plan_specs + dense_specs + [
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, out_rows, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((comp_rows, 2 * LANES), jnp.int8),
+            pltpu.VMEM((comp_rows, (3 if with_dense else 2) * LANES),
+                       jnp.int8),
             pltpu.VMEM((out_rows, 2 * LANES), jnp.int8),
         ] + extra_scratch,
     )
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
         prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded,
-        static_bands=static_bands, mt_max=mt_max)
+        static_bands=static_bands, with_dense=with_dense, mt_max=mt_max)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -427,7 +489,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(p_used, p_off, p0, bands, se_flat, shift_flat, comp)
+    )(p_used, p_off, p0, dense, bands, se_flat, shift_flat, dq, row_a, comp)
 
 
 @functools.partial(jax.jit, static_argnames=("comp_rows",))
@@ -507,6 +569,30 @@ def flatten_batch_plans(se, shift, p_used, p0, nrows):
     sh_flat[:S] = shift.reshape(n * mp, tiles, LANES)[sel]
     return {"p_used": p_used, "p_off": p_off, "p0": p0.astype(np.int32),
             "se": se_flat, "shift": sh_flat}
+
+
+def attach_dense_planes(plans: dict, dq: np.ndarray, row_a: np.ndarray,
+                        dense: np.ndarray) -> dict:
+    """Attach the planner's dense comp-pass planes to a flat-plan dict.
+
+    ``dq``: [n, nrows, 128] int16 per-byte wire, ``row_a``: [n, nrows]
+    int32 per-row anchors (re-laid to the kernel's [128, tiles] column
+    layout), ``dense``: [n] flags.  Plans built by ``bt_plan_batch*``
+    REQUIRE these planes: densified comp cells leave the pass schedule,
+    so executing the schedule alone decodes incompletely.
+    """
+    n, nrows = row_a.shape
+    plans["dq"] = dq
+    if nrows % LANES == 0:
+        tiles = nrows // LANES
+        plans["row_a"] = np.ascontiguousarray(
+            row_a.reshape(n, tiles, LANES).transpose(0, 2, 1))
+    else:
+        # Oracle-only plans (the kernel requires lane-tiled rows): keep
+        # the natural per-row layout, which decode_flat_numpy accepts.
+        plans["row_a"] = row_a
+    plans["dense"] = dense.astype(np.int32)
+    return plans
 
 
 def concat_flat_plans(parts: list[dict]) -> dict:
@@ -642,6 +728,17 @@ def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):
         comp_plane[:len(cb)] = cb
         out_plane = np.zeros(out_rows * LANES, np.int64)
         p = np.arange(out_rows * LANES)
+        # Dense comp pass first (per-byte wire; see plan.cc Densify).
+        if plans.get("dense") is not None and plans["dense"][i]:
+            dq = plans["dq"][i].reshape(-1).astype(np.int64)     # [rows*128]
+            ra = plans["row_a"][i]                               # [128, tiles]
+            row_a = ra.T.reshape(-1)                             # per row
+            active = (dq & 512) != 0
+            qlane = dq & (LANES - 1)
+            drow = (dq >> 7) & 3
+            srow = np.repeat(row_a, LANES) + drow
+            src = np.clip(srow * LANES + qlane, 0, comp_plane.shape[0] - 1)
+            out_plane = np.where(active, comp_plane[src], out_plane)
         ncomp = int(plans["p0"][i])
         for k in range(int(plans["p_used"][i])):
             row = int(plans["p_off"][i]) + k

@@ -218,8 +218,8 @@ def test_flat_plan_static_bands(rng):
     # KBAND-row window (cnt <= 1), so the kernel's static single-gather
     # mode applies; must stay bit-exact vs the oracle.
     from bitar_tpu.ops.pallas.lz4_decode_flat import (
-        KBAND, bands_supported, compute_bands, decode_blocks_flat,
-        decode_flat_numpy, flatten_batch_plans)
+        KBAND, attach_dense_planes, bands_supported, compute_bands,
+        decode_blocks_flat, decode_flat_numpy, flatten_batch_plans)
     import jax.numpy as jnp
 
     block = 64 * 1024
@@ -235,11 +235,12 @@ def test_flat_plan_static_bands(rng):
     lens = np.array([len(c) for c in comps], np.int32)
     off = np.zeros(len(comps), np.int64)
     off[1:] = np.cumsum(lens[:-1])
-    se, sh, pu, p0, st, _ = native.plan_batch_flat(
+    se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
         src, off, lens, np.full(len(comps), block, np.int32),
         np.zeros(len(comps), np.int32), nrows, 160, cb=4, band_rows=KBAND)
     assert (st == 0).all(), f"band-constrained planning failed: {st}"
-    plans = flatten_batch_plans(se, sh, pu, p0, nrows)
+    plans = attach_dense_planes(
+        flatten_batch_plans(se, sh, pu, p0, nrows), dq, ra, dn)
     comp_rows = -(-int(lens.max()) // 128)
     comp_rows = -(-comp_rows // 128) * 128
     if comp_rows > 128:
@@ -259,7 +260,8 @@ def test_flat_plan_static_bands(rng):
         jnp.asarray(cp_i8), jnp.asarray(plans["p_used"]),
         jnp.asarray(plans["p_off"]), jnp.asarray(plans["p0"]),
         jnp.asarray(plans["se"]), jnp.asarray(plans["shift"]),
-        jnp.asarray(bands),
+        jnp.asarray(bands), jnp.asarray(plans["dq"]),
+        jnp.asarray(plans["row_a"]), jnp.asarray(plans["dense"]),
         comp_rows=comp_rows, out_rows=nrows, interpret=True,
         static_bands=True))
     for i, d in enumerate(datas):
@@ -348,7 +350,8 @@ def test_fill_fragments_periodic_data(rng):
     # match (offset < length) collapses into ~one pass of whole-row
     # copies instead of log-doubling all the way.  Periodic corpora must
     # stay bit-exact AND plan small (the pass count is the decode cost).
-    from bitar_tpu.ops.pallas.lz4_decode_flat import decode_flat_numpy
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        attach_dense_planes, decode_flat_numpy)
 
     block = 128 * 1024
     nrows = block // 128
@@ -364,7 +367,7 @@ def test_fill_fragments_periodic_data(rng):
     }
     for name, raw in cases.items():
         comp = np.asarray(native.lz4_compress(raw))
-        se, sh, pu, p0, st, _ = native.plan_batch_flat(
+        se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
             comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
             np.array([block], np.int32), np.zeros(1, np.int32),
             nrows, 160, cb=4)
@@ -372,9 +375,10 @@ def test_fill_fragments_periodic_data(rng):
         P = int(pu[0])
         assert P <= 20, f"{name}: fill rewrite regressed to {P} passes"
         comp_rows = -(-len(comp) // 128)
-        plans = {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
-                 "se": se[0, :P].reshape(P, -1, 128),
-                 "shift": sh[0, :P].reshape(P, -1, 128)}
+        plans = attach_dense_planes(
+            {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
+             "se": se[0, :P].reshape(P, -1, 128),
+             "shift": sh[0, :P].reshape(P, -1, 128)}, dq, ra, dn)
         out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
         assert out.reshape(-1).tobytes()[:block] == raw, name
 
@@ -382,7 +386,8 @@ def test_fill_fragments_periodic_data(rng):
 def test_fill_fragments_fuzz_overlap_matches(rng):
     # Adversarial overlap shapes: random periods/lengths/phases around
     # row boundaries, decoded through the flat numpy oracle.
-    from bitar_tpu.ops.pallas.lz4_decode_flat import decode_flat_numpy
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        attach_dense_planes, decode_flat_numpy)
 
     for trial in range(40):
         period = int(rng.integers(1, 200))
@@ -393,7 +398,7 @@ def test_fill_fragments_fuzz_overlap_matches(rng):
         raw = (pre + unit * (n // period + 2))[:n]
         comp = np.asarray(native.lz4_compress(raw))
         nrows = -(-len(raw) // 128)
-        se, sh, pu, p0, st, _ = native.plan_batch_flat(
+        se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
             comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
             np.array([len(raw)], np.int32), np.zeros(1, np.int32),
             nrows, 160, cb=4)
@@ -401,8 +406,9 @@ def test_fill_fragments_fuzz_overlap_matches(rng):
             continue                    # unplannable: host fallback path
         P = int(pu[0])
         comp_rows = -(-len(comp) // 128)
-        plans = {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
-                 "se": se[0, :P], "shift": sh[0, :P]}
+        plans = attach_dense_planes(
+            {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
+             "se": se[0, :P], "shift": sh[0, :P]}, dq, ra, dn)
         out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
         assert out.reshape(-1).tobytes()[:len(raw)] == raw, \
             f"trial {trial} period {period}"
