@@ -173,6 +173,12 @@ class EngineConfig:
     block_size: int = DEFAULT_BLOCK_SIZE
     burst_size: int = DEFAULT_BURST_SIZE
     level: int = 1                      # codec effort (zstd level; lz4/snappy ignore)
+    min_match: int = 6                  # smallest LZ4/Snappy match emitted.
+                                        # 4 = max ratio; the default 6 drops only
+                                        # marginal hash-collision matches (measured:
+                                        # text ratio +3%, barely-compressible blocks
+                                        # go literal-only and decode in ~1 pass
+                                        # instead of ~43).  Host matcher only.
     window_log: int = 16                # match window log2; LZ4 format caps at 16
     checksum: Checksum = Checksum.NONE
     max_pool_slots: int = 4096          # arena slot budget (memzone budget analog)
@@ -238,6 +244,8 @@ class EngineConfig:
             return Status.Invalid(f"window_log {self.window_log} outside [8, 27]")
         if self.level < 0 or self.level > 22:
             return Status.Invalid(f"level {self.level} outside [0, 22]")
+        if not (4 <= self.min_match <= 512):
+            return Status.Invalid(f"min_match {self.min_match} outside [4, 512]")
         if self.compress_matcher not in ("host", "tpu", "tpu-sort"):
             return Status.Invalid(
                 f"compress_matcher {self.compress_matcher!r} not in "

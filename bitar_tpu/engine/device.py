@@ -274,7 +274,7 @@ class Engine:
             return registry.host_compress_batch(
                 cfg.codec, cfg.level, raw, manifest.raw_off[s:e],
                 manifest.raw_len[s:e], staging.reshape(-1),
-                dst_off[s:e], caps[s:e])
+                dst_off[s:e], caps[s:e], min_match=cfg.min_match)
 
         def _land(s: int, e: int, dl, st):
             """Per-chunk dequeue: status walk, incompressible->RAW
@@ -567,11 +567,12 @@ class Engine:
                  "p_off": p_off.astype(np.int32),
                  "p0": p0.astype(np.int32), "se": se, "shift": sh,
                  # Dense comp-pass planes (plan.cc Densify): per-byte
-                 # (qlane, drow) wire + per-row anchor, pre-transposed to
-                 # the kernel's [128, tiles] column layout.
+                 # (pass, qlane, drow) wire + pass-major per-row anchors,
+                 # pre-transposed to the kernel's [D, 128, tiles] layout.
                  "dq": dq,
                  "row_a": np.ascontiguousarray(
-                     row_a.reshape(n, tiles, LANES).transpose(0, 2, 1)),
+                     row_a.reshape(n, -1, tiles, LANES
+                                   ).transpose(0, 1, 3, 2)),
                  "dense": dense.astype(np.int32)}
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
@@ -807,9 +808,10 @@ class Engine:
                 dq_b = ra_b = dn_b = None
             else:
                 dq_b, ra_b = dq_dev[start:stop], ra_dev[start:stop]
-                if nb < burst:          # pad blocks: dense flag 0, never read
-                    pad = ((0, burst - nb), (0, 0), (0, 0))
-                    dq_b, ra_b = jnp.pad(dq_b, pad), jnp.pad(ra_b, pad)
+                if nb < burst:          # pad blocks: dense count 0, never read
+                    tail = (0, burst - nb)
+                    dq_b = jnp.pad(dq_b, (tail, (0, 0), (0, 0)))
+                    ra_b = jnp.pad(ra_b, (tail, (0, 0), (0, 0), (0, 0)))
                 dn = np.zeros(burst, np.int32)
                 dn[:nb] = dense_np[start:stop]
                 dn_b = jnp.asarray(dn)

@@ -13,7 +13,6 @@
 
 namespace {
 
-using CodecFn = int (*)(const uint8_t*, int, uint8_t*, int);
 
 int RawCopy(const uint8_t* src, int n, uint8_t* dst, int cap) {
   if (n > cap) return BT_ERR_CAPACITY;
@@ -22,13 +21,15 @@ int RawCopy(const uint8_t* src, int n, uint8_t* dst, int cap) {
 }
 
 int DispatchOne(int codec, bool compress, const uint8_t* src, int src_len,
-                uint8_t* dst, int dst_cap) {
+                uint8_t* dst, int dst_cap, int min_match) {
   switch (codec) {
     case BT_CODEC_LZ4:
-      return compress ? bt_lz4_compress(src, src_len, dst, dst_cap)
+      return compress ? bt_lz4_compress_mm(src, src_len, dst, dst_cap,
+                                           min_match)
                       : bt_lz4_decompress(src, src_len, dst, dst_cap);
     case BT_CODEC_SNAPPY:
-      return compress ? bt_snappy_compress(src, src_len, dst, dst_cap)
+      return compress ? bt_snappy_compress_mm(src, src_len, dst, dst_cap,
+                                              min_match)
                       : bt_snappy_decompress(src, src_len, dst, dst_cap);
     case BT_CODEC_RAW:
       return RawCopy(src, src_len, dst, dst_cap);
@@ -44,7 +45,7 @@ int DispatchOne(int codec, bool compress, const uint8_t* src, int src_len,
 void RunBatch(bool compress, int codec, const int32_t* codec_ids, int nthreads,
               int nblocks, const uint8_t* src, const int64_t* src_off,
               const int32_t* src_len, uint8_t* dst, const int64_t* dst_off,
-              int32_t* dst_len, int32_t* status) {
+              int32_t* dst_len, int32_t* status, int min_match = 4) {
   if (nblocks <= 0) return;
   if (nthreads < 1) nthreads = 1;
   const unsigned hw = std::thread::hardware_concurrency();
@@ -58,7 +59,7 @@ void RunBatch(bool compress, int codec, const int32_t* codec_ids, int nthreads,
       if (i >= nblocks) return;
       const int c = codec_ids != nullptr ? codec_ids[i] : codec;
       const int rc = DispatchOne(c, compress, src + src_off[i], src_len[i],
-                                 dst + dst_off[i], dst_len[i]);
+                                 dst + dst_off[i], dst_len[i], min_match);
       if (rc < 0) {
         status[i] = rc;
         dst_len[i] = 0;
@@ -81,13 +82,16 @@ void RunBatch(bool compress, int codec, const int32_t* codec_ids, int nthreads,
 
 }  // namespace
 
+// min_match: smallest match length the LZ4/Snappy encoders emit (see
+// bt_lz4_compress_mm); other codecs ignore it.
 extern "C" void bt_batch_compress(int codec, const int32_t* codec_ids,
                                   int nthreads, int nblocks, const uint8_t* src,
                                   const int64_t* src_off, const int32_t* src_len,
                                   uint8_t* dst, const int64_t* dst_off,
-                                  int32_t* dst_len, int32_t* status) {
+                                  int32_t* dst_len, int32_t* status,
+                                  int min_match) {
   RunBatch(true, codec, codec_ids, nthreads, nblocks, src, src_off, src_len,
-           dst, dst_off, dst_len, status);
+           dst, dst_off, dst_len, status, min_match < 4 ? 4 : min_match);
 }
 
 extern "C" void bt_batch_decompress(int codec, const int32_t* codec_ids,
@@ -100,4 +104,4 @@ extern "C" void bt_batch_decompress(int codec, const int32_t* codec_ids,
            dst, dst_off, dst_len, status);
 }
 
-extern "C" int bt_abi_version(void) { return 5; }
+extern "C" int bt_abi_version(void) { return 6; }

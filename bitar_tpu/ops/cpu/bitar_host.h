@@ -37,6 +37,14 @@ enum { BT_CODEC_LZ4 = 0, BT_CODEC_SNAPPY = 1, BT_CODEC_ZSTD = 2, BT_CODEC_RAW = 
 /* Greedy LZ4 block compress; returns compressed length or negative code. */
 int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 
+/* As bt_lz4_compress with a minimum emitted match length (>= 4).  Larger
+ * values keep marginal matches as literals: the stream stays LZ4
+ * wire-compatible and barely grows, while the device decoder's pass
+ * schedule shrinks dramatically on barely-compressible data (each tiny
+ * match costs a scheduled pass on its output row; see plan.cc). */
+int bt_lz4_compress_mm(const uint8_t* src, int src_len, uint8_t* dst,
+                       int dst_cap, int min_match);
+
 /* LZ4 block decompress; returns decompressed length or negative code. */
 int bt_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 
@@ -73,6 +81,11 @@ int bt_lz4_parse(const uint8_t* src, int src_len, int max_seq,
 /* ---- Snappy raw format -------------------------------------------- */
 
 int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
+
+/* As bt_snappy_compress with a minimum emitted match length (>= 4; see
+ * bt_lz4_compress_mm for the decode-cost rationale). */
+int bt_snappy_compress_mm(const uint8_t* src, int src_len, uint8_t* dst,
+                          int dst_cap, int min_match);
 int bt_snappy_decompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 /* Decoded length from the preamble varint, or negative code. */
 int bt_snappy_uncompressed_len(const uint8_t* src, int src_len);
@@ -116,11 +129,13 @@ int bt_zstd_parse(const uint8_t* src, int src_len, int max_seq,
  * codec may be BT_CODEC_LZ4 / BT_CODEC_SNAPPY / BT_CODEC_RAW; per-block
  * codec override via codec_ids (may be NULL -> use `codec` for all).
  */
+/* min_match: smallest match length the LZ4/Snappy encoders emit
+ * (clamped to >= 4; other codecs ignore it — see bt_lz4_compress_mm). */
 void bt_batch_compress(int codec, const int32_t* codec_ids, int nthreads,
                        int nblocks, const uint8_t* src, const int64_t* src_off,
                        const int32_t* src_len, uint8_t* dst,
                        const int64_t* dst_off, int32_t* dst_len,
-                       int32_t* status);
+                       int32_t* status, int min_match);
 
 void bt_batch_decompress(int codec, const int32_t* codec_ids, int nthreads,
                          int nblocks, const uint8_t* src, const int64_t* src_off,
@@ -154,11 +169,13 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * band_tile <= 0 defaults to 1024 (the kernel's default M-tile). */
 /* dq/row_a/dense: dense comp-pass planes (per-byte wire, see plan.cc
  * Planner::Densify) — dq int16 [nblocks][nrows*128] packs
- * active<<9 | drow<<7 | src_lane per output byte, row_a int32
- * [nblocks][nrows] the per-row anchor source row (byte source row =
- * row_a + drow, drow <= 2), dense int32 [nblocks] nonzero when the
- * block has dense bytes.  Comp cells inside the 3-row window leave the
- * pass schedule; the device executes them in one gather. */
+ * (pass+1)<<9 | drow<<7 | src_lane per output byte (pass+1 in 4 bits,
+ * 0 = byte not dense), row_a int32 [nblocks][16][nrows] pass-major
+ * per-row anchor source rows (byte source row = row_a + drow,
+ * drow <= 2), dense int32 [nblocks] = number of dense passes (0..15).
+ * Comp cells covered by a row's <=15 greedy 3-row windows leave the
+ * pass schedule; the device executes each window set in one anchored
+ * gather per dense pass. */
 void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
                    int nblocks, const uint8_t* src, const int64_t* src_off,
                    const int32_t* src_len, const int32_t* out_len, int nrows,

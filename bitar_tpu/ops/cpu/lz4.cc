@@ -88,10 +88,15 @@ inline int EmitSequence(uint8_t* dst, int cap, int d, const uint8_t* lits,
 
 }  // namespace
 
-extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
-                               int dst_cap) {
+// min_match: smallest match length the encoder emits (>= kMinMatch).
+// Wire-compatible with any LZ4 decoder; larger values skip marginal
+// matches (4-byte hash hits on barely-compressible data cost ~1 byte of
+// ratio each but a whole scheduled pass on the device decoder — see
+// plan.cc Densify).
+extern "C" int bt_lz4_compress_mm(const uint8_t* src, int src_len,
+                                  uint8_t* dst, int dst_cap, int min_match) {
   if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
-      dst == nullptr) {
+      dst == nullptr || min_match < kMinMatch) {
     return BT_ERR_INVALID;
   }
   int32_t table[kHashSize];
@@ -113,7 +118,6 @@ extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
       i += 1 + (misses++ >> kSkipTrigger);
       continue;
     }
-    misses = 0;
     // Extend forward (match may end no later than matchlimit).
     int mlen = kMinMatch;
     while (i + mlen < matchlimit && src[cand + mlen] == src[i + mlen]) ++mlen;
@@ -125,6 +129,11 @@ extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
       --cstart;
       ++mlen;
     }
+    if (mlen < min_match) {            // marginal match: keep as literals
+      i += 1 + (misses++ >> kSkipTrigger);
+      continue;
+    }
+    misses = 0;
     d = EmitSequence(dst, dst_cap, d, src + anchor, mstart - anchor,
                      mstart - cstart, mlen);
     if (d < 0) return d;
@@ -134,6 +143,11 @@ extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
   // Final literals.
   d = EmitSequence(dst, dst_cap, d, src + anchor, src_len - anchor, 0, -1);
   return d;
+}
+
+extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
+                               int dst_cap) {
+  return bt_lz4_compress_mm(src, src_len, dst, dst_cap, kMinMatch);
 }
 
 extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,

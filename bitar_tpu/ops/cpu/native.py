@@ -23,7 +23,9 @@ _SRC_DIR = Path(__file__).resolve().parent
 _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
-_ABI_VERSION = 5
+_ABI_VERSION = 6
+DENSE_PLANES = 16     # row_a anchor planes per block: pass ids 1..15 in the
+                      # dq wire's 4-bit field + one spare (plan.cc kDenseMax)
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -66,17 +68,24 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+    for name in ("bt_lz4_compress_mm", "bt_snappy_compress_mm"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int]
     lib.bt_snappy_uncompressed_len.restype = ctypes.c_int
     lib.bt_snappy_uncompressed_len.argtypes = [u8p, ctypes.c_int]
     for name in ("bt_lz4_parse", "bt_snappy_parse"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
         fn.argtypes = [u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p, i32p, i32p]
-    for name in ("bt_batch_compress", "bt_batch_decompress"):
-        fn = getattr(lib, name)
-        fn.restype = None
-        fn.argtypes = [ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
-                       u8p, i64p, i32p, u8p, i64p, i32p, i32p]
+    lib.bt_batch_compress.restype = None
+    lib.bt_batch_compress.argtypes = [
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, i64p, i32p, u8p, i64p, i32p, i32p, ctypes.c_int]
+    lib.bt_batch_decompress.restype = None
+    lib.bt_batch_decompress.argtypes = [
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, i64p, i32p, u8p, i64p, i32p, i32p]
     i16p = ctypes.POINTER(ctypes.c_int16)
     lib.bt_plan_batch.restype = None
     lib.bt_plan_batch.argtypes = [
@@ -210,11 +219,13 @@ def _check(rc: int, what: str) -> int:
     return rc
 
 
-def lz4_compress(data, dst_cap: int | None = None) -> np.ndarray:
+def lz4_compress(data, dst_cap: int | None = None,
+                 min_match: int = 4) -> np.ndarray:
     src = _as_u8(data)
     cap = dst_cap if dst_cap is not None else len(src) + len(src) // 255 + 16
     dst = np.empty(cap, dtype=np.uint8)
-    rc = _check(load().bt_lz4_compress(_u8ptr(src), len(src), _u8ptr(dst), cap),
+    rc = _check(load().bt_lz4_compress_mm(_u8ptr(src), len(src), _u8ptr(dst),
+                                          cap, min_match),
                 "lz4_compress")
     return dst[:rc]
 
@@ -227,11 +238,13 @@ def lz4_decompress(data, dst_cap: int) -> np.ndarray:
     return dst[:rc]
 
 
-def snappy_compress(data, dst_cap: int | None = None) -> np.ndarray:
+def snappy_compress(data, dst_cap: int | None = None,
+                    min_match: int = 4) -> np.ndarray:
     src = _as_u8(data)
     cap = dst_cap if dst_cap is not None else 32 + len(src) + len(src) // 6
     dst = np.empty(cap, dtype=np.uint8)
-    rc = _check(load().bt_snappy_compress(_u8ptr(src), len(src), _u8ptr(dst), cap),
+    rc = _check(load().bt_snappy_compress_mm(_u8ptr(src), len(src),
+                                             _u8ptr(dst), cap, min_match),
                 "snappy_compress")
     return dst[:rc]
 
@@ -351,8 +364,11 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     """Batched parse+plan+pack into the flat decode-kernel wire.
 
     Returns (se [n, max_passes, nrows] int16, shift int32, p_used [n],
-    p0 [n], status [n], lit_used [n]); blocks with status != 0 have no
-    plan (fall back).  ``lit_out`` (flat [n * lit_stride] uint8) receives
+    p0 [n], status [n], lit_used [n], dq [n, nrows, 128] int16,
+    row_a [n, DENSE_PLANES, nrows] int32, dense [n] int32 — the dense
+    comp-pass planes, see plan.cc Planner::Densify); blocks with
+    status != 0 have no plan (fall back).  ``lit_out`` (flat
+    [n * lit_stride] uint8) receives
     zstd blocks' entropy-decoded literal planes; lit_used[i] > 0 marks a
     block whose plan sources the LITERAL plane instead of the compressed
     bytes.  The per-(pass,row) cell format matches ``lz4_decode_flat``.
@@ -383,7 +399,7 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
     dq = np.zeros((n, nrows, 128), np.int16)
-    row_a = np.zeros((n, nrows), np.int32)
+    row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
     dense = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     load().bt_plan_batch(
@@ -425,7 +441,7 @@ def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
     dq = np.zeros((n, nrows, 128), np.int16)
-    row_a = np.zeros((n, nrows), np.int32)
+    row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
     dense = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     ctx = load().bt_plan_batch_begin(
@@ -462,12 +478,15 @@ def plan_batch_abort(ctx) -> None:
 def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,
               src_len: np.ndarray, dst: np.ndarray, dst_off: np.ndarray,
               dst_cap: np.ndarray, nthreads: int = 0,
-              codec_ids: np.ndarray | None = None):
+              codec_ids: np.ndarray | None = None, min_match: int = 4):
     """Multithreaded batch (de)compress over packed byte arrays.
 
     Returns (dst_len int32 array, status int32 array); raises nothing — the
     caller inspects per-block status (matching the reference's per-op status
     walk at dequeue, src/device.cc:512-520).
+
+    ``min_match``: smallest match length the LZ4/Snappy encoders emit
+    (compress only; see ``bt_lz4_compress_mm``).
     """
     n = int(src_len.shape[0])
     if nthreads <= 0:
@@ -479,8 +498,11 @@ def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,
     src_len = np.ascontiguousarray(src_len, dtype=np.int32)
     ids_ptr = _i32ptr(np.ascontiguousarray(codec_ids, dtype=np.int32)) \
         if codec_ids is not None else None
-    fn = load().bt_batch_compress if compress else load().bt_batch_decompress
-    fn(_CODEC_INT[codec], ids_ptr, nthreads, n,
-       _u8ptr(src), _i64ptr(src_off), _i32ptr(src_len),
-       _u8ptr(dst), _i64ptr(dst_off), _i32ptr(dst_len), _i32ptr(status))
+    args = (_CODEC_INT[codec], ids_ptr, nthreads, n,
+            _u8ptr(src), _i64ptr(src_off), _i32ptr(src_len),
+            _u8ptr(dst), _i64ptr(dst_off), _i32ptr(dst_len), _i32ptr(status))
+    if compress:
+        load().bt_batch_compress(*args, min_match)
+    else:
+        load().bt_batch_decompress(*args)
     return dst_len, status

@@ -400,30 +400,34 @@ class Planner {
   std::vector<Frag>& frags() { return frags_; }
   const std::vector<int32_t>& cell_pass() const { return cell_pass_; }
 
-  // --- Dense comp pass (v4 wire) -------------------------------------
+  // --- Dense comp passes (v5 wire) ------------------------------------
   //
-  // Comp-sourced cells of one output row usually source a tiny ascending
-  // window of the comp plane (a row's literals span ~compressed-row-size
-  // bytes).  Those cells move OFF the pass schedule entirely: the device
-  // executes them all in ONE "dense" pass from a per-byte wire
+  // Comp-sourced cells of one output row source small windows of the
+  // comp plane (a row's literals span ~compressed-row-size bytes;
+  // re-sourced match reads scatter, but each cell still spans <= 2
+  // source rows).  Per row the cells are covered greedily by up to
+  // kDenseMax 3-row windows; every covered cell moves OFF the pass
+  // schedule and executes in the window's dense pass from a per-byte
+  // wire
   //
-  //   dq[p] = active(bit 9) | drow(bits 7..8) | src_lane(bits 0..6)
-  //   row_a[r] = anchor source row; byte src row = row_a + drow (drow<=2)
+  //   dq[p] = pass+1(bits 9..12) | drow(bits 7..8) | src_lane(bits 0..6)
+  //   row_a[j][r] = pass j's anchor source row for output row r;
+  //                 byte src row = row_a + drow (drow <= 2)
   //
-  // gathered through a triple-paired source plane (rows a, a+1, a+2) —
-  // one matmul + per-byte select replaces up to ~56 scheduled comp
-  // passes on low-entropy data (measured: lowent 128 KiB blocks needed
-  // 56 comp passes of ~2.9 us each; the dense pass costs ~1-2 passes).
-  //
-  // Cell selection: per row, anchor the 3-row window at the comp row
-  // covering the most bytes (cells outside stay on the classic
-  // schedule).  Must run before Schedule(); fills cell_dense_ (parallel
-  // to cell_pass_) and the caller-provided planes.
+  // gathered through a triple-paired source plane (rows a, a+1, a+2).
+  // Each dense pass costs one anchored gather over all rows (~ one
+  // scheduled pass); a handful replace up to ~56 scheduled comp passes
+  // on low-entropy data.  Rows needing more than kDenseMax windows keep
+  // their largest-coverage windows dense; the rest stay scheduled.
+  // Must run before Schedule(); fills cell_dense_ (parallel to
+  // cell_pass_) and the caller-provided planes.
+  static constexpr int kDenseMax = 15;   // pass ids 1..15 in 4 wire bits
   void Densify(int nrows, int16_t* dq, int32_t* row_a, int32_t* dense_out) {
     AllocCells();
     cell_dense_.assign(cell_pass_.size(), 0);
     std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
-    std::memset(row_a, 0, sizeof(int32_t) * static_cast<size_t>(nrows));
+    std::memset(row_a, 0,
+                sizeof(int32_t) * static_cast<size_t>(kDenseMax + 1) * nrows);
     *dense_out = 0;
 
     struct Cell { int32_t frag; int32_t lo, hi; int32_t srlo, srhi; };
@@ -452,40 +456,57 @@ class Planner {
     // cells were appended fragment-major = dst-major = row-major already,
     // so [row_head[r], row_head[r+1]) is exactly row r's slice.
 
-    int64_t dense_bytes = 0;
+    struct Win { int32_t a; int64_t cov; int32_t lo, hi; };  // cell range
+    static thread_local std::vector<Win> wins;
+    int ndense = 0;
     for (int r = 0; r < nrows; ++r) {
       const int b0 = row_head[r], b1 = row_head[r + 1];
       if (b0 == b1) continue;
-      // Anchor = cell srlo maximizing covered bytes in [a, a+2].
-      int32_t best_a = -1;
-      int64_t best_cov = 0;
-      for (int i = b0; i < b1; ++i) {
+      // Sort the row's cells by source row (literals ascend with dst,
+      // but re-sourced match reads scatter).
+      std::sort(cells.begin() + b0, cells.begin() + b1,
+                [](const Cell& x, const Cell& y) { return x.srlo < y.srlo; });
+      // Greedy ascending cover: minimal #windows for 3-row windows.
+      wins.clear();
+      int i = b0;
+      while (i < b1) {
         const int32_t a = cells[i].srlo;
-        int64_t cov = 0;
-        for (int j = b0; j < b1; ++j) {
-          if (cells[j].srlo >= a && cells[j].srhi <= a + 2) {
-            cov += cells[j].hi - cells[j].lo;
+        Win w{a, 0, i, i};
+        while (i < b1 && cells[i].srhi <= a + 2) {
+          w.cov += cells[i].hi - cells[i].lo;
+          ++i;
+        }
+        w.hi = i;
+        wins.push_back(w);
+      }
+      if (static_cast<int>(wins.size()) > kDenseMax) {
+        // Keep the largest-coverage windows dense; the rest stay on the
+        // classic schedule.
+        std::partial_sort(wins.begin(), wins.begin() + kDenseMax,
+                          wins.end(), [](const Win& x, const Win& y) {
+                            return x.cov > y.cov;
+                          });
+        wins.resize(kDenseMax);
+      }
+      for (int j = 0; j < static_cast<int>(wins.size()); ++j) {
+        const Win& w = wins[j];
+        row_a[static_cast<size_t>(j) * nrows + r] = w.a;
+        for (int ci = w.lo; ci < w.hi; ++ci) {
+          const Cell& c = cells[ci];
+          const Frag& f = frags_[c.frag];
+          const int fr0 = f.dst / 128;
+          cell_dense_[f.cell_base + (r - fr0)] = 1;
+          for (int32_t p = c.lo; p < c.hi; ++p) {
+            const int32_t src = p + f.shift;
+            const int32_t drow = (src >> 7) - w.a;
+            dq[p] = static_cast<int16_t>(((j + 1) << 9) | (drow << 7) |
+                                         (src & 127));
           }
         }
-        if (cov > best_cov) { best_cov = cov; best_a = a; }
       }
-      if (best_a < 0) continue;
-      row_a[r] = best_a;
-      for (int i = b0; i < b1; ++i) {
-        const Cell& c = cells[i];
-        if (c.srlo < best_a || c.srhi > best_a + 2) continue;
-        const Frag& f = frags_[c.frag];
-        const int fr0 = f.dst / 128;
-        cell_dense_[f.cell_base + (r - fr0)] = 1;
-        for (int32_t p = c.lo; p < c.hi; ++p) {
-          const int32_t src = p + f.shift;
-          const int32_t drow = (src >> 7) - best_a;
-          dq[p] = static_cast<int16_t>(512 | (drow << 7) | (src & 127));
-        }
-        dense_bytes += c.hi - c.lo;
-      }
+      ndense = std::max(ndense, static_cast<int>(wins.size()));
     }
-    *dense_out = dense_bytes > 0 ? 1 : 0;
+    *dense_out = ndense;
   }
 
   bool cell_is_dense(size_t idx) const {
@@ -651,13 +672,16 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
     // Identity copy = a pure dense pass: row r sources row r (drow 0,
     // src lane = lane).  Zero scheduled passes.
     std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
-    std::memset(row_a, 0, sizeof(int32_t) * static_cast<size_t>(nrows));
+    std::memset(row_a, 0, sizeof(int32_t) *
+                              static_cast<size_t>(Planner::kDenseMax + 1) *
+                              nrows);
     const int rows_used = (out_len + 127) / 128;
     for (int r = 0; r < rows_used; ++r) {
       const int end = std::min(128, out_len - r * 128);
-      row_a[r] = r;
+      row_a[r] = r;                     // dense pass 0's anchor plane
       for (int l = 0; l < end; ++l) {
-        dq[static_cast<size_t>(r) * 128 + l] = static_cast<int16_t>(512 | l);
+        dq[static_cast<size_t>(r) * 128 + l] =
+            static_cast<int16_t>((1 << 9) | l);
       }
     }
     *dense_out = out_len > 0 ? 1 : 0;
@@ -802,8 +826,9 @@ extern "C" {
 // for bt_plan_batch_pack / bt_plan_batch_abort (never NULL for
 // nblocks > 0; NULL for nblocks <= 0).
 // dq / row_a / dense are the dense-pass planes (see Planner::Densify):
-// dq int16 [nblocks][nrows*128], row_a int32 [nblocks][nrows], dense
-// int32 [nblocks] (1 when the block has any dense bytes).
+// dq int16 [nblocks][nrows*128], row_a int32 [nblocks][16][nrows]
+// (pass-major anchor planes; only the first `dense[i]` planes are
+// meaningful), dense int32 [nblocks] = number of dense passes (0..15).
 void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                           int nblocks, const uint8_t* src,
                           const int64_t* src_off, const int32_t* src_len,
@@ -831,7 +856,8 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
     int32_t lit_scratch = 0;
     if (lit_used_i == nullptr) lit_used_i = &lit_scratch;
     int16_t* dq_i = dq + static_cast<size_t>(i) * nrows * 128;
-    int32_t* row_a_i = row_a + static_cast<size_t>(i) * nrows;
+    int32_t* row_a_i =
+        row_a + static_cast<size_t>(i) * (Planner::kDenseMax + 1) * nrows;
     int rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                          max_passes, split_limit, cb, band_rows, band_tile,
                          &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,

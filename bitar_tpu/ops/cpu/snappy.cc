@@ -85,10 +85,13 @@ int EmitCopy(uint8_t* dst, int cap, int d, int offset, int len) {
 
 }  // namespace
 
-extern "C" int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst,
-                                  int dst_cap) {
+// min_match: smallest match length emitted (>= 4; see bt_lz4_compress_mm
+// for the decode-cost rationale).  Wire-compatible with any decoder.
+extern "C" int bt_snappy_compress_mm(const uint8_t* src, int src_len,
+                                     uint8_t* dst, int dst_cap,
+                                     int min_match) {
   if (src_len < 0 || dst_cap < 0 || (src == nullptr && src_len > 0) ||
-      dst == nullptr) {
+      dst == nullptr || min_match < 4) {
     return BT_ERR_INVALID;
   }
   int d = WriteVarint(dst, dst_cap, 0, static_cast<uint32_t>(src_len));
@@ -110,9 +113,13 @@ extern "C" int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst,
       i += 1 + (misses++ >> kSkipTrigger);
       continue;
     }
-    misses = 0;
     int mlen = 4;
     while (i + mlen < src_len && src[cand + mlen] == src[i + mlen]) ++mlen;
+    if (mlen < min_match) {            // marginal match: keep as literals
+      i += 1 + (misses++ >> kSkipTrigger);
+      continue;
+    }
+    misses = 0;
     const int offset = i - cand;
     d = EmitLiteral(dst, dst_cap, d, src + anchor, i - anchor);
     if (d < 0) return d;
@@ -131,6 +138,11 @@ extern "C" int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst,
   }
   d = EmitLiteral(dst, dst_cap, d, src + anchor, src_len - anchor);
   return d;
+}
+
+extern "C" int bt_snappy_compress(const uint8_t* src, int src_len,
+                                  uint8_t* dst, int dst_cap) {
+  return bt_snappy_compress_mm(src, src_len, dst, dst_cap, 4);
 }
 
 extern "C" int bt_snappy_emit_sequences(const uint8_t* src, int src_len,

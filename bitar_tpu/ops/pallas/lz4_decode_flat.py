@@ -326,37 +326,44 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
             fetch(0, 0)
 
     if with_dense:
-        # --- Dense comp pass: every comp cell whose 3-row source window
-        # anchors at row_a executes here from the per-byte wire (see
-        # plan.cc Densify) — ONE gather + select replaces up to ~56
-        # scheduled comp passes on fragment-dense (low-entropy) data.
+        # --- Dense comp passes: comp cells covered by a row's <= 15
+        # greedy 3-row windows execute here from the per-byte wire (see
+        # plan.cc Densify) — one anchored gather + select per window set
+        # replaces up to ~56 scheduled comp passes on fragment-dense
+        # data.  The wire's 4-bit pass-id field selects which bytes each
+        # dense pass writes.
         @pl.when(dense_ref[b] != 0)
         def _dense():
-            vt_ra = row_a_ref[0]                       # [128, tiles] int32
+            nd = dense_ref[b]
             for mt in range(0, nrows, MT):
                 t0 = mt // LANES
                 nt = MT // LANES
-                ra = _colcast(vt_ra, t0, nt)           # [MT, 128]
-                ra1 = ra[:, 0:1]
                 v = dq_ref[0][mt:mt + MT].astype(jnp.int32)
-                active = lax.bitwise_and(v, 512) != 0
+                pid = lax.bitwise_and(lax.shift_right_logical(v, 9), 0xF)
                 qlane = lax.bitwise_and(v, LANES - 1)
                 dr = lax.bitwise_and(lax.shift_right_logical(v, 7), 3)
-                acc = jnp.zeros((MT, 3 * LANES), jnp.int32)
-                for ck in range(0, comp_rows, KC):
-                    kc = min(KC, comp_rows - ck)
-                    kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
-                    oh = (kio == (ra1 - ck)).astype(jnp.int8)
-                    acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
-                                        preferred_element_type=jnp.int32)
-                va = jnp.take_along_axis(acc[:, 0:LANES], qlane, axis=1)
-                vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane,
-                                         axis=1)
-                vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane, axis=1)
-                val = jnp.where(dr == 0, va, jnp.where(dr == 1, vb, vc))
-                cur = out_sc[mt:mt + MT, 0:LANES]
-                out_sc[mt:mt + MT, 0:LANES] = jnp.where(
-                    active, val.astype(jnp.int8), cur)
+
+                def dense_pass(j, cur):
+                    ra = _colcast(row_a_ref[0, j], t0, nt)   # [MT, 128]
+                    ra1 = ra[:, 0:1]
+                    acc = jnp.zeros((MT, 3 * LANES), jnp.int32)
+                    for ck in range(0, comp_rows, KC):
+                        kc = min(KC, comp_rows - ck)
+                        kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
+                        oh = (kio == (ra1 - ck)).astype(jnp.int8)
+                        acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
+                                            preferred_element_type=jnp.int32)
+                    va = jnp.take_along_axis(acc[:, 0:LANES], qlane, axis=1)
+                    vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane,
+                                             axis=1)
+                    vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane,
+                                             axis=1)
+                    val = jnp.where(dr == 0, va,
+                                    jnp.where(dr == 1, vb, vc))
+                    return jnp.where(pid == j + 1, val.astype(jnp.int8), cur)
+
+                out_sc[mt:mt + MT, 0:LANES] = lax.fori_loop(
+                    0, nd, dense_pass, out_sc[mt:mt + MT, 0:LANES])
 
     lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
     # Comp batches skip mirror upkeep; sync once before the out phase.
@@ -415,7 +422,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         "dq/row_a/dense travel together"
     if not with_dense:                        # placeholders, never read
         dq = jnp.zeros((1, 8, 128), jnp.int16)
-        row_a = jnp.zeros((1, 8, 128), jnp.int32)
+        row_a = jnp.zeros((1, 1, 8, 128), jnp.int32)
         dense = jnp.zeros(n, jnp.int32)
     nrows = out_rows
     assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
@@ -450,14 +457,14 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         dense_specs = [
             pl.BlockSpec((1,) + dq.shape[1:], lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
         dense_specs = [
             pl.BlockSpec((1,) + dq.shape[1:], lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -575,18 +582,19 @@ def attach_dense_planes(plans: dict, dq: np.ndarray, row_a: np.ndarray,
                         dense: np.ndarray) -> dict:
     """Attach the planner's dense comp-pass planes to a flat-plan dict.
 
-    ``dq``: [n, nrows, 128] int16 per-byte wire, ``row_a``: [n, nrows]
-    int32 per-row anchors (re-laid to the kernel's [128, tiles] column
-    layout), ``dense``: [n] flags.  Plans built by ``bt_plan_batch*``
-    REQUIRE these planes: densified comp cells leave the pass schedule,
-    so executing the schedule alone decodes incompletely.
+    ``dq``: [n, nrows, 128] int16 per-byte wire, ``row_a``:
+    [n, D, nrows] int32 pass-major per-row anchors (re-laid to the
+    kernel's [D, 128, tiles] column layout), ``dense``: [n] dense-pass
+    counts.  Plans built by ``bt_plan_batch*`` REQUIRE these planes:
+    densified comp cells leave the pass schedule, so executing the
+    schedule alone decodes incompletely.
     """
-    n, nrows = row_a.shape
+    n, D, nrows = row_a.shape
     plans["dq"] = dq
     if nrows % LANES == 0:
         tiles = nrows // LANES
         plans["row_a"] = np.ascontiguousarray(
-            row_a.reshape(n, tiles, LANES).transpose(0, 2, 1))
+            row_a.reshape(n, D, tiles, LANES).transpose(0, 1, 3, 2))
     else:
         # Oracle-only plans (the kernel requires lane-tiled rows): keep
         # the natural per-row layout, which decode_flat_numpy accepts.
@@ -728,17 +736,21 @@ def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):
         comp_plane[:len(cb)] = cb
         out_plane = np.zeros(out_rows * LANES, np.int64)
         p = np.arange(out_rows * LANES)
-        # Dense comp pass first (per-byte wire; see plan.cc Densify).
+        # Dense comp passes first (per-byte wire; see plan.cc Densify).
         if plans.get("dense") is not None and plans["dense"][i]:
             dq = plans["dq"][i].reshape(-1).astype(np.int64)     # [rows*128]
-            ra = plans["row_a"][i]                               # [128, tiles]
-            row_a = ra.T.reshape(-1)                             # per row
-            active = (dq & 512) != 0
+            ra = plans["row_a"][i]        # [D, 128, tiles] or [D, nrows]
+            pid = (dq >> 9) & 0xF
             qlane = dq & (LANES - 1)
             drow = (dq >> 7) & 3
-            srow = np.repeat(row_a, LANES) + drow
-            src = np.clip(srow * LANES + qlane, 0, comp_plane.shape[0] - 1)
-            out_plane = np.where(active, comp_plane[src], out_plane)
+            for j in range(int(plans["dense"][i])):
+                row_a = (ra[j].T.reshape(-1) if ra[j].ndim == 2
+                         else ra[j])                             # per row
+                active = pid == j + 1
+                srow = np.repeat(row_a, LANES) + drow
+                src = np.clip(srow * LANES + qlane, 0,
+                              comp_plane.shape[0] - 1)
+                out_plane = np.where(active, comp_plane[src], out_plane)
         ncomp = int(plans["p0"][i])
         for k in range(int(plans["p_used"][i])):
             row = int(plans["p_off"][i]) + k

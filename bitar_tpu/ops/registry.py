@@ -67,20 +67,23 @@ def host_compress_batch(codec: Codec, level: int, src: np.ndarray,
                         src_off: np.ndarray, src_len: np.ndarray,
                         dst: np.ndarray, dst_off: np.ndarray,
                         dst_cap: np.ndarray, nthreads: int = 0,
-                        codec_ids: np.ndarray | None = None
+                        codec_ids: np.ndarray | None = None,
+                        min_match: int = 4
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Compress a batch of blocks on the host; returns (lengths, statuses).
 
     All codecs (zstd included) run in the multithreaded C++ batch engine;
     ``level`` is accepted for API parity (the native zstd encoder is a
     single greedy strategy, the analog of module level 1).
+    ``min_match``: smallest match length the LZ4/Snappy encoders emit —
+    the decode-cost lever (EngineConfig.min_match).
     """
     del level  # single native strategy; kept for call-site compatibility
     if codec_ids is None:
         codec_ids = np.full(src_len.shape[0], _codec_int(codec), dtype=np.int32)
     dst_len, status = native.batch_run(
         True, "lz4", src, src_off, src_len, dst, dst_off, dst_cap,
-        nthreads=nthreads, codec_ids=codec_ids)
+        nthreads=nthreads, codec_ids=codec_ids, min_match=min_match)
     return dst_len, status
 
 

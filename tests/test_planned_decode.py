@@ -412,3 +412,39 @@ def test_fill_fragments_fuzz_overlap_matches(rng):
         out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
         assert out.reshape(-1).tobytes()[:len(raw)] == raw, \
             f"trial {trial} period {period}"
+
+
+def test_multi_anchor_dense_passes(rng):
+    # Rows whose comp cells scatter across the comp plane (matches
+    # re-sourced to distant literal regions) need multiple dense
+    # anchors; the multi-window wire must absorb them bit-exactly and
+    # actually engage more than one dense pass.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        attach_dense_planes, decode_flat_numpy)
+
+    block = 32 * 1024
+    nrows = block // 128
+    # 64 distinct random 48-byte chunks spread through a random preamble,
+    # then rows stitched from far-apart chunks: each output row's match
+    # sources bottom out in literal regions scattered over the comp
+    # plane.
+    chunks = [rng.integers(0, 256, 48, np.uint8).tobytes()
+              for _ in range(64)]
+    pre = b"".join(chunks[i] + rng.integers(0, 256, 80, np.uint8).tobytes()
+                   for i in range(64))
+    body = b"".join(chunks[(7 * k) % 64] for k in range(200))
+    raw = (pre + body)[:block].ljust(block, b"\x00")
+    comp = np.asarray(native.lz4_compress(raw))
+    se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
+        comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
+        np.array([block], np.int32), np.zeros(1, np.int32),
+        nrows, 160, cb=4)
+    assert st[0] == 0
+    assert int(dn[0]) >= 2, f"expected multi-anchor dense, got {dn[0]}"
+    P = int(pu[0])
+    comp_rows = -(-len(comp) // 128)
+    plans = attach_dense_planes(
+        {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
+         "se": se[0, :P], "shift": sh[0, :P]}, dq, ra, dn)
+    out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
+    assert out.reshape(-1).tobytes()[:block] == raw
