@@ -563,15 +563,20 @@ class Engine:
         sh = np.zeros((s_pad, tiles, LANES), np.int32)
         for ctx, s, e in ctxs:
             native.plan_batch_pack(ctx, p_off[s:e], se, sh)
+        # Dense comp-pass planes (plan.cc Densify): per-byte (pass,
+        # qlane, drow) wire + pass-major per-row anchors, trimmed to the
+        # unit's true dense-pass count (quantized to powers of two so
+        # the kernel shape is shared across units) and pre-transposed to
+        # the kernel's [D, 128, tiles] layout.
+        dmax = max(1, int(dense.max(initial=0)))
+        dcap = 1 << (dmax - 1).bit_length()
+        row_a = row_a.reshape(n, -1, nrows)[:, :dcap]
         plans = {"p_used": p_used.astype(np.int32),
                  "p_off": p_off.astype(np.int32),
                  "p0": p0.astype(np.int32), "se": se, "shift": sh,
-                 # Dense comp-pass planes (plan.cc Densify): per-byte
-                 # (pass, qlane, drow) wire + pass-major per-row anchors,
-                 # pre-transposed to the kernel's [D, 128, tiles] layout.
                  "dq": dq,
                  "row_a": np.ascontiguousarray(
-                     row_a.reshape(n, -1, tiles, LANES
+                     row_a.reshape(n, dcap, tiles, LANES
                                    ).transpose(0, 1, 3, 2)),
                  "dense": dense.astype(np.int32)}
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)

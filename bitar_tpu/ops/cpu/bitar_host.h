@@ -203,6 +203,13 @@ void bt_plan_batch_pack(void* ctx, int nthreads, const int64_t* p_off,
                         int16_t* se, int32_t* shift);
 void bt_plan_batch_abort(void* ctx);
 
+/* Debug/analysis: parse + fragment-build one block, dumping up to `cap`
+ * fragments (dst, len, shift, space, aux).  Returns the true fragment
+ * count or a negative status.  For offline scheduler prototyping. */
+int bt_plan_frags(int codec, const uint8_t* src, int src_len, int out_len,
+                  int split_limit, int cap, int32_t* dst, int32_t* len,
+                  int32_t* shift, int32_t* space, int32_t* aux);
+
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);
 

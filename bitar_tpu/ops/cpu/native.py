@@ -24,8 +24,8 @@ _BUILD_DIR = _SRC_DIR / "build"
 _LIB_PATH = _BUILD_DIR / "libbitar_host.so"
 _SOURCES = ["lz4.cc", "snappy.cc", "zstd.cc", "batch.cc", "plan.cc"]
 _ABI_VERSION = 6
-DENSE_PLANES = 16     # row_a anchor planes per block: pass ids 1..15 in the
-                      # dq wire's 4-bit field + one spare (plan.cc kDenseMax)
+DENSE_PLANES = 64     # row_a anchor planes per block: pass ids 1..63 in the
+                      # dq wire's 6-bit field + one spare (plan.cc kDenseMax)
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -128,6 +128,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                   i32p, i32p, i32p, i32p, i32p]
     lib.bt_set_split_limit.restype = None
     lib.bt_set_split_limit.argtypes = [ctypes.c_int]
+    lib.bt_plan_frags.restype = ctypes.c_int
+    lib.bt_plan_frags.argtypes = [ctypes.c_int, u8p, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  i32p, i32p, i32p, i32p, i32p]
     lib.bt_abi_version.restype = ctypes.c_int
     lib.bt_abi_version.argtypes = []
     return lib
@@ -136,6 +140,28 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 def set_split_limit(v: int) -> None:
     """Tune the planner's comp-resolution split limit."""
     load().bt_set_split_limit(int(v))
+
+
+def plan_frags(data, out_len: int, codec: str = "lz4",
+               split_limit: int = 2) -> dict[str, np.ndarray]:
+    """Debug/analysis: the planner's fragment list for one block.
+
+    Returns dict of int32 arrays (dst, len, shift, space, aux); space is
+    0 comp / 1 out / 2 row-fill (see plan.cc).  For offline scheduler
+    prototyping only — not a production path.
+    """
+    src = _as_u8(data)
+    cap = out_len + 64
+    cols = {k: np.zeros(cap, np.int32) for k in
+            ("dst", "len", "shift", "space", "aux")}
+    n = _check(load().bt_plan_frags(
+        _CODEC_INT[codec], _u8ptr(src), len(src), out_len, split_limit, cap,
+        *(_i32ptr(cols[k]) for k in ("dst", "len", "shift", "space", "aux"))),
+        "plan_frags")
+    if n > cap:
+        raise StatusError(
+            Status.CapacityError(f"fragment count {n} > cap {cap}"))
+    return {k: v[:n] for k, v in cols.items()}
 
 
 def lz4_emit_sequences(data, mlen: np.ndarray, off_idx: np.ndarray,

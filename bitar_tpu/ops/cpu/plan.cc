@@ -410,7 +410,7 @@ class Planner {
   // schedule and executes in the window's dense pass from a per-byte
   // wire
   //
-  //   dq[p] = pass+1(bits 9..12) | drow(bits 7..8) | src_lane(bits 0..6)
+  //   dq[p] = pass+1(bits 9..14) | drow(bits 7..8) | src_lane(bits 0..6)
   //   row_a[j][r] = pass j's anchor source row for output row r;
   //                 byte src row = row_a + drow (drow <= 2)
   //
@@ -418,10 +418,12 @@ class Planner {
   // Each dense pass costs one anchored gather over all rows (~ one
   // scheduled pass); a handful replace up to ~56 scheduled comp passes
   // on low-entropy data.  Rows needing more than kDenseMax windows keep
-  // their largest-coverage windows dense; the rest stay scheduled.
+  // their largest-coverage windows dense; the rest stay scheduled
+  // (kDenseMax 63 covers every corpus measured — markdown-heavy text
+  // peaks at ~13 windows/row; the cap is the wire field, not a tuning).
   // Must run before Schedule(); fills cell_dense_ (parallel to
   // cell_pass_) and the caller-provided planes.
-  static constexpr int kDenseMax = 15;   // pass ids 1..15 in 4 wire bits
+  static constexpr int kDenseMax = 63;   // pass ids 1..63 in 6 wire bits
   void Densify(int nrows, int16_t* dq, int32_t* row_a, int32_t* dense_out) {
     AllocCells();
     cell_dense_.assign(cell_pass_.size(), 0);
@@ -926,6 +928,50 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
     p_off[i] = static_cast<int64_t>(i) * max_passes;
   }
   bt_plan_batch_pack(ctx, nthreads, p_off.data(), se, shift);
+}
+
+// Debug/analysis export: parse + Build one block and dump the fragment
+// list (dst, len, shift, space, aux) into caller arrays of capacity
+// `cap`.  Returns the fragment count (may exceed cap; only cap rows are
+// written) or a negative status.  Lets offline tooling prototype
+// scheduler changes without re-exposing planner internals.
+int bt_plan_frags(int codec, const uint8_t* src, int src_len, int out_len,
+                  int split_limit, int cap, int32_t* dst, int32_t* len,
+                  int32_t* shift, int32_t* space, int32_t* aux) {
+  static thread_local std::vector<int32_t> seq_buf;
+  const int max_seq = std::max(src_len, out_len) + 2;
+  if (static_cast<int>(seq_buf.size()) < max_seq * 5) {
+    seq_buf.resize(static_cast<size_t>(max_seq) * 5);
+  }
+  int32_t* lit_ptr = seq_buf.data();
+  int32_t* lit_len = lit_ptr + max_seq;
+  int32_t* offv = lit_len + max_seq;
+  int32_t* mlenv = offv + max_seq;
+  int32_t* out_posv = mlenv + max_seq;
+  const int nseq =
+      codec == BT_CODEC_LZ4
+          ? bt_lz4_parse(src, src_len, max_seq, lit_ptr, lit_len, offv,
+                         mlenv, out_posv)
+          : bt_snappy_parse(src, src_len, max_seq, lit_ptr, lit_len, offv,
+                            mlenv, out_posv);
+  if (nseq < 0) return nseq;
+  const int saved_split = g_split_limit;
+  g_split_limit = split_limit < 1 ? 1 : split_limit;
+  Planner planner;
+  const bool built = planner.Build(nseq, lit_ptr, lit_len, offv, mlenv,
+                                   out_posv, out_len + 64);
+  g_split_limit = saved_split;
+  if (!built) return BT_ERR_CAPACITY;
+  const int n = static_cast<int>(planner.frags().size());
+  for (int i = 0; i < n && i < cap; ++i) {
+    const Frag& f = planner.frags()[i];
+    dst[i] = f.dst;
+    len[i] = f.len;
+    shift[i] = f.shift;
+    space[i] = f.out_space;
+    aux[i] = f.aux;
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -326,11 +326,11 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
             fetch(0, 0)
 
     if with_dense:
-        # --- Dense comp passes: comp cells covered by a row's <= 15
+        # --- Dense comp passes: comp cells covered by a row's <= 63
         # greedy 3-row windows execute here from the per-byte wire (see
         # plan.cc Densify) — one anchored gather + select per window set
         # replaces up to ~56 scheduled comp passes on fragment-dense
-        # data.  The wire's 4-bit pass-id field selects which bytes each
+        # data.  The wire's 6-bit pass-id field selects which bytes each
         # dense pass writes.
         @pl.when(dense_ref[b] != 0)
         def _dense():
@@ -339,7 +339,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
                 t0 = mt // LANES
                 nt = MT // LANES
                 v = dq_ref[0][mt:mt + MT].astype(jnp.int32)
-                pid = lax.bitwise_and(lax.shift_right_logical(v, 9), 0xF)
+                pid = lax.bitwise_and(lax.shift_right_logical(v, 9), 0x3F)
                 qlane = lax.bitwise_and(v, LANES - 1)
                 dr = lax.bitwise_and(lax.shift_right_logical(v, 7), 3)
 
@@ -591,6 +591,12 @@ def attach_dense_planes(plans: dict, dq: np.ndarray, row_a: np.ndarray,
     """
     n, D, nrows = row_a.shape
     plans["dq"] = dq
+    # Trim anchor planes to the unit's true dense-pass count, quantized
+    # to powers of two so the kernel shape (and its Mosaic compile) is
+    # shared across units.
+    dmax = max(1, int(dense.max(initial=0)))
+    D = min(D, 1 << (dmax - 1).bit_length())
+    row_a = row_a[:, :D]
     if nrows % LANES == 0:
         tiles = nrows // LANES
         plans["row_a"] = np.ascontiguousarray(
@@ -740,7 +746,7 @@ def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):
         if plans.get("dense") is not None and plans["dense"][i]:
             dq = plans["dq"][i].reshape(-1).astype(np.int64)     # [rows*128]
             ra = plans["row_a"][i]        # [D, 128, tiles] or [D, nrows]
-            pid = (dq >> 9) & 0xF
+            pid = (dq >> 9) & 0x3F
             qlane = dq & (LANES - 1)
             drow = (dq >> 7) & 3
             for j in range(int(plans["dense"][i])):
