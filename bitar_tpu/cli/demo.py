@@ -352,6 +352,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "interpreter mode, no accelerator needed)")
     p.add_argument("--checksum", choices=[c.value for c in Checksum],
                    default="none")
+    p.add_argument("--min-match", type=int, default=6,
+                   help="smallest LZ4/Snappy match emitted (4 = max ratio; "
+                        "6 keeps barely-compressible blocks literal-only "
+                        "for ~40x fewer device decode passes)")
     p.add_argument("--pool-slots", type=int, default=None,
                    help="arena slots (default: sized to input like the "
                         "reference, app_common.cc:92-100)")
@@ -418,7 +422,7 @@ def main(argv: list[str] | None = None) -> int:
         codec=Codec(args.codec), block_size=args.block_size,
         burst_size=args.burst_size, checksum=Checksum(args.checksum),
         max_pool_slots=pool, use_tpu_kernels=(args.backend == "tpu"),
-        compress_matcher=args.matcher)
+        compress_matcher=args.matcher, min_match=args.min_match)
 
     driver = Driver.instance()
     print("topology:", driver.describe())

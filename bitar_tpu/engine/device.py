@@ -437,6 +437,7 @@ class Engine:
             oidx = np.asarray(oidx)
         dst_len = np.zeros(n, np.int32)
         status = np.zeros(n, np.int32)
+        native.set_emit_min_match(cfg.min_match)   # thread-local; emits below
         for i in range(n):
             o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
             try:

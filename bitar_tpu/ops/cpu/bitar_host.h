@@ -86,6 +86,15 @@ int bt_snappy_compress(const uint8_t* src, int src_len, uint8_t* dst, int dst_ca
  * bt_lz4_compress_mm for the decode-cost rationale). */
 int bt_snappy_compress_mm(const uint8_t* src, int src_len, uint8_t* dst,
                           int dst_cap, int min_match);
+
+/* Minimum emitted match length for the hint-driven emitters
+ * (bt_*_emit_sequences); thread-local, clamped to >= 4.  The
+ * batch/direct compressors take it as an explicit parameter instead. */
+void bt_set_emit_min_match(int v);
+#ifdef __cplusplus
+extern thread_local int bt_emit_min_match;
+#endif
+
 int bt_snappy_decompress(const uint8_t* src, int src_len, uint8_t* dst, int dst_cap);
 /* Decoded length from the preamble varint, or negative code. */
 int bt_snappy_uncompressed_len(const uint8_t* src, int src_len);

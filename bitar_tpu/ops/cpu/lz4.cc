@@ -15,6 +15,7 @@ namespace {
 constexpr int kHashLog = 14;
 constexpr int kHashSize = 1 << kHashLog;
 constexpr int kMinMatch = 4;
+
 // Encoder end-of-block rules from the format spec: the last 5 bytes are
 // always literals; the last match must start at least 12 bytes before the
 // end of the block.
@@ -150,6 +151,15 @@ extern "C" int bt_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
   return bt_lz4_compress_mm(src, src_len, dst, dst_cap, kMinMatch);
 }
 
+thread_local int bt_emit_min_match = 4;
+
+// Minimum emitted match length for the hint-driven emitters (thread
+// local, like bt_set_split_limit; the batch/direct compressors take it
+// as an explicit parameter instead).
+extern "C" void bt_set_emit_min_match(int v) {
+  bt_emit_min_match = v < 4 ? 4 : v;
+}
+
 extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
                                      const int32_t* mlen,
                                      const int32_t* off_idx,
@@ -182,7 +192,7 @@ extern "C" int bt_lz4_emit_sequences(const uint8_t* src, int src_len,
         if (off >= 1 && off <= i && off <= 65535) {
           int ml = 0;
           while (i + ml < matchlimit && src[i + ml] == src[i - off + ml]) ++ml;
-          if (ml >= kMinMatch) {
+          if (ml >= kMinMatch && ml >= bt_emit_min_match) {
             d = EmitSequence(dst, dst_cap, d, src + anchor, i - anchor, off,
                              ml);
             if (d < 0) return d;

@@ -128,6 +128,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                   i32p, i32p, i32p, i32p, i32p]
     lib.bt_set_split_limit.restype = None
     lib.bt_set_split_limit.argtypes = [ctypes.c_int]
+    lib.bt_set_emit_min_match.restype = None
+    lib.bt_set_emit_min_match.argtypes = [ctypes.c_int]
     lib.bt_plan_frags.restype = ctypes.c_int
     lib.bt_plan_frags.argtypes = [ctypes.c_int, u8p, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -140,6 +142,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 def set_split_limit(v: int) -> None:
     """Tune the planner's comp-resolution split limit."""
     load().bt_set_split_limit(int(v))
+
+
+def set_emit_min_match(v: int) -> None:
+    """Minimum match length the hint-driven emitters accept (>= 4).
+
+    Thread-local (applies to the calling thread's subsequent
+    ``*_emit_sequences`` calls); the batch compressors take
+    ``min_match`` explicitly instead.
+    """
+    load().bt_set_emit_min_match(int(v))
 
 
 def plan_frags(data, out_len: int, codec: str = "lz4",

@@ -177,7 +177,7 @@ extern "C" int bt_snappy_emit_sequences(const uint8_t* src, int src_len,
         if (off >= 1 && off <= i && off <= 65535) {
           int ml = 0;
           while (i + ml < src_len && src[i + ml] == src[i - off + ml]) ++ml;
-          if (ml >= 4) {
+          if (ml >= 4 && ml >= bt_emit_min_match) {
             d = EmitLiteral(dst, dst_cap, d, src + anchor, i - anchor);
             if (d < 0) return d;
             int rem = ml;
