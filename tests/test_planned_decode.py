@@ -414,6 +414,33 @@ def test_fill_fragments_fuzz_overlap_matches(rng):
             f"trial {trial} period {period}"
 
 
+def test_pass_economics_by_corpus_class(rng):
+    # Decode cost = scheduled + dense passes; these budgets encode the
+    # dense-pass + min_match design targets (ARCHITECTURE.md roofline).
+    # A planner or encoder regression that re-inflates a class fails here
+    # long before a benchmark run would notice.
+    block = 128 * 1024
+    nrows = block // 128
+    budgets = {            # (corpus, max effective passes)
+        "text": ((b"The quick brown fox jumps over the lazy dog 7. "
+                  ) * (block // 47 + 1))[:block],
+        "lowent": rng.integers(0, 16, block, np.uint8).tobytes(),
+        "random": rng.integers(0, 256, block, np.uint8).tobytes(),
+        "rle": bytes([7]) * block,
+    }
+    caps = {"text": 12, "lowent": 4, "random": 4, "rle": 12}
+    for name, raw in budgets.items():
+        comp = np.asarray(native.lz4_compress(raw, min_match=6))
+        se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
+            comp, np.zeros(1, np.int64), np.array([len(comp)], np.int32),
+            np.array([block], np.int32), np.zeros(1, np.int32),
+            nrows, 160, cb=4)
+        assert st[0] == 0, name
+        eff = int(pu[0]) + int(dn[0])
+        assert eff <= caps[name], \
+            f"{name}: {eff} effective passes > budget {caps[name]}"
+
+
 def test_multi_anchor_dense_passes(rng):
     # Rows whose comp cells scatter across the comp plane (matches
     # re-sourced to distant literal regions) need multiple dense
