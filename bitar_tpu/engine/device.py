@@ -565,21 +565,32 @@ class Engine:
         for ctx, s, e in ctxs:
             native.plan_batch_pack(ctx, p_off[s:e], se, sh)
         # Dense comp-pass planes (plan.cc Densify): per-byte (pass,
-        # qlane, drow) wire + pass-major per-row anchors, trimmed to the
-        # unit's true dense-pass count (quantized to powers of two so
-        # the kernel shape is shared across units) and pre-transposed to
-        # the kernel's [D, 128, tiles] layout.
+        # qlane, drow) wire + pass-major per-row anchors.  COMPACTED:
+        # only blocks with dense > 0 carry wire (identity/RAW blocks are
+        # dense = -1 and need none); dq_idx maps each block to its wire
+        # row, forward-filled so Pallas re-fetches only when the row
+        # changes.  Anchor planes additionally trim to the unit's true
+        # dense-pass count (power-of-two quantized: shared kernel
+        # shapes).
+        dense = dense.astype(np.int32)
+        sel = np.flatnonzero(dense > 0)
         dmax = max(1, int(dense.max(initial=0)))
         dcap = 1 << (dmax - 1).bit_length()
         row_a = row_a.reshape(n, -1, nrows)[:, :dcap]
+        if sel.size:
+            dq_c = np.ascontiguousarray(dq[sel])
+            ra_c = np.ascontiguousarray(
+                row_a[sel].reshape(-1, dcap, tiles, LANES
+                                   ).transpose(0, 1, 3, 2))
+        else:
+            dq_c = np.zeros((1, nrows, 128), np.int16)
+            ra_c = np.zeros((1, dcap, LANES, tiles), np.int32)
+        dq_idx = np.maximum(np.cumsum(dense > 0) - 1, 0).astype(np.int32)
         plans = {"p_used": p_used.astype(np.int32),
                  "p_off": p_off.astype(np.int32),
                  "p0": p0.astype(np.int32), "se": se, "shift": sh,
-                 "dq": dq,
-                 "row_a": np.ascontiguousarray(
-                     row_a.reshape(n, dcap, tiles, LANES
-                                   ).transpose(0, 1, 3, 2)),
-                 "dense": dense.astype(np.int32)}
+                 "dq": dq_c, "row_a": ra_c, "dense": dense,
+                 "dq_idx": dq_idx}
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).
@@ -811,20 +822,21 @@ class Engine:
                 planes = planes.at[jnp.asarray(js)].set(
                     lit_dev[jnp.asarray(ks)])
             if dq_dev is None:
-                dq_b = ra_b = dn_b = None
+                dq_b = ra_b = dn_b = di_b = None
             else:
-                dq_b, ra_b = dq_dev[start:stop], ra_dev[start:stop]
-                if nb < burst:          # pad blocks: dense count 0, never read
-                    tail = (0, burst - nb)
-                    dq_b = jnp.pad(dq_b, (tail, (0, 0), (0, 0)))
-                    ra_b = jnp.pad(ra_b, (tail, (0, 0), (0, 0), (0, 0)))
-                dn = np.zeros(burst, np.int32)
+                # Compact planes upload once per unit and ride every
+                # launch whole; only the tiny per-block scalars slice.
+                dq_b, ra_b = dq_dev, ra_dev
+                dn = np.zeros(burst, np.int32)    # pad blocks: no dense
                 dn[:nb] = dense_np[start:stop]
-                dn_b = jnp.asarray(dn)
+                di = np.zeros(burst, np.int32)
+                di[:nb] = plans["dq_idx"][start:stop]
+                di[nb:] = di[max(nb - 1, 0)]      # ffill: no extra fetch
+                dn_b, di_b = jnp.asarray(dn), jnp.asarray(di)
             result = decode_blocks_flat(
                 planes, jnp.asarray(p_used), jnp.asarray(p_off),
                 jnp.asarray(p0), se_dev, shift_dev, plans.get("bands"),
-                dq_b, ra_b, dn_b,
+                dq_b, ra_b, dn_b, di_b,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
@@ -871,8 +883,10 @@ class Engine:
         p_off = jnp.asarray(plans["p_off"])
         p0 = jnp.asarray(plans["p0"])
         se_dev, shift_dev, dq_dev, ra_dev = unit.plan_device_arrays()
-        dense_dev = (jnp.asarray(plans["dense"])
-                     if dq_dev is not None else None)
+        dense_dev = didx_dev = None
+        if dq_dev is not None:
+            dense_dev = jnp.asarray(plans["dense"])
+            didx_dev = jnp.asarray(plans["dq_idx"])
 
         bands = plans.get("bands")
 
@@ -881,7 +895,7 @@ class Engine:
         def launch():
             return decode_blocks_flat(
                 planes, p_used, p_off, p0, se_dev, shift_dev, bands,
-                dq_dev, ra_dev, dense_dev,
+                dq_dev, ra_dev, dense_dev, didx_dev,
                 comp_rows=comp_rows, out_rows=nrows,
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),

@@ -178,11 +178,13 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * band_tile <= 0 defaults to 1024 (the kernel's default M-tile). */
 /* dq/row_a/dense: dense comp-pass planes (per-byte wire, see plan.cc
  * Planner::Densify) — dq int16 [nblocks][nrows*128] packs
- * (pass+1)<<9 | drow<<7 | src_lane per output byte (pass+1 in 4 bits,
- * 0 = byte not dense), row_a int32 [nblocks][16][nrows] pass-major
+ * (pass+1)<<9 | drow<<7 | src_lane per output byte (pass+1 in 6 bits,
+ * 0 = byte not dense), row_a int32 [nblocks][64][nrows] pass-major
  * per-row anchor source rows (byte source row = row_a + drow,
- * drow <= 2), dense int32 [nblocks] = number of dense passes (0..15).
- * Comp cells covered by a row's <=15 greedy 3-row windows leave the
+ * drow <= 2), dense int32 [nblocks] = number of dense passes (0..63),
+ * or -1 for the identity-dense mode (RAW blocks: the device copies the
+ * comp plane verbatim; dq/row_a are not written for those blocks).
+ * Comp cells covered by a row's <=63 greedy 3-row windows leave the
  * pass schedule; the device executes each window set in one anchored
  * gather per dense pass. */
 void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,

@@ -671,22 +671,11 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   const auto pad = [cb](int v) { return (v + cb - 1) / cb * cb; };
 
   if (codec == BT_CODEC_RAW) {
-    // Identity copy = a pure dense pass: row r sources row r (drow 0,
-    // src lane = lane).  Zero scheduled passes.
-    std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
-    std::memset(row_a, 0, sizeof(int32_t) *
-                              static_cast<size_t>(Planner::kDenseMax + 1) *
-                              nrows);
-    const int rows_used = (out_len + 127) / 128;
-    for (int r = 0; r < rows_used; ++r) {
-      const int end = std::min(128, out_len - r * 128);
-      row_a[r] = r;                     // dense pass 0's anchor plane
-      for (int l = 0; l < end; ++l) {
-        dq[static_cast<size_t>(r) * 128 + l] =
-            static_cast<int16_t>((1 << 9) | l);
-      }
-    }
-    *dense_out = out_len > 0 ? 1 : 0;
+    // Identity copy: the kernel's identity-dense mode (dense = -1)
+    // copies the comp plane straight to the output — no per-byte wire,
+    // no anchor planes, no scheduled passes (the per-block wire would
+    // be 2x the payload for a block that needs none).
+    *dense_out = -1;
     se_v->clear();
     shift_v->clear();
     *p_used_out = 0;

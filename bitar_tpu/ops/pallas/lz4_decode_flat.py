@@ -82,8 +82,8 @@ def _colcast(vt, t0: int, nt: int):
     return jnp.concatenate(cols, axis=0) if nt > 1 else cols[0]
 
 
-def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
-                 se_ref, shift_ref, dq_ref, row_a_ref,
+def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
+                 bands_ref, se_ref, shift_ref, dq_ref, row_a_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, prefetch: bool,
                  plans_vmem: bool, banded: bool, static_bands: bool,
@@ -98,6 +98,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
       p_used_ref (N,) SMEM      per-block total passes (multiple of CB)
       p_off_ref  (N,) SMEM      per-block start row in the flat plan arrays
       p0_ref     (N,) SMEM      per-block comp passes (multiple of CB)
+      dense_ref  (N,) SMEM      dense passes; -1 = identity (RAW) block
+      dqidx_ref  (N,) SMEM      per-block row into the compact dq/row_a
       se_ref    [S, tiles, 128] int16 HBM   packed start<<8|end
       shift_ref [S, tiles, 128] int32 HBM   source shifts (plane-local)
       comp_ref  (1, comp_rows, 128) VMEM    int8 biased compressed plane
@@ -114,12 +116,26 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
     ncomp = p0_ref[b]              # comp passes, multiple of CB
     base = p_off_ref[b]
 
-    comp_i8 = comp_ref[0]
-    comp_sc[:, 0:LANES] = comp_i8
-    comp_sc[:, LANES:2 * LANES] = jnp.roll(comp_i8, -1, axis=0)
-    if with_dense:
-        # Third pane (row + 2) for the dense pass's 3-row source window.
-        comp_sc[:, 2 * LANES:] = jnp.roll(comp_i8, -2, axis=0)
+    # Identity-dense (RAW stored) block: the decoded bytes ARE the comp
+    # plane — one unbiased VMEM copy, no scratch work, no wire.
+    @pl.when(dense_ref[b] < 0)
+    def _identity():
+        cr = min(comp_rows, nrows)
+        ident = (comp_ref[0][:cr].astype(jnp.int32) + 128).astype(jnp.uint8)
+        if cr < nrows:
+            out_ref[0, :cr] = ident
+            out_ref[0, cr:] = jnp.zeros((nrows - cr, LANES), jnp.uint8)
+        else:
+            out_ref[0] = ident
+
+    @pl.when(dense_ref[b] >= 0)
+    def _scratch_init():
+        comp_i8 = comp_ref[0]
+        comp_sc[:, 0:LANES] = comp_i8
+        comp_sc[:, LANES:2 * LANES] = jnp.roll(comp_i8, -1, axis=0)
+        if with_dense:
+            # Third pane (row + 2) for the dense 3-row source window.
+            comp_sc[:, 2 * LANES:] = jnp.roll(comp_i8, -2, axis=0)
 
     # All per-pass work is M-tiled at MT rows so VMEM transients stay
     # bounded regardless of block size (a [nrows, *] int32 working set
@@ -332,7 +348,7 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
         # replaces up to ~56 scheduled comp passes on fragment-dense
         # data.  The wire's 6-bit pass-id field selects which bytes each
         # dense pass writes.
-        @pl.when(dense_ref[b] != 0)
+        @pl.when(dense_ref[b] > 0)
         def _dense():
             nd = dense_ref[b]
             for mt in range(0, nrows, MT):
@@ -365,12 +381,14 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
                 out_sc[mt:mt + MT, 0:LANES] = lax.fori_loop(
                     0, nd, dense_pass, out_sc[mt:mt + MT, 0:LANES])
 
-    lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
-    # Comp batches skip mirror upkeep; sync once before the out phase.
-    out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
-    lax.fori_loop(ncomp_chunks, nchunks, out_chunk, 0)
-
-    out_ref[0] = (out_sc[:, 0:LANES].astype(jnp.int32) + 128).astype(jnp.uint8)
+    @pl.when(dense_ref[b] >= 0)
+    def _phases():
+        lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
+        # Comp batches skip mirror upkeep; sync once before the out phase.
+        out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
+        lax.fori_loop(ncomp_chunks, nchunks, out_chunk, 0)
+        out_ref[0] = (out_sc[:, 0:LANES].astype(jnp.int32)
+                      + 128).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -378,7 +396,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, bands_ref,
     static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth",
                      "mt_max", "static_bands"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
-                       bands=None, dq=None, row_a=None, dense=None, *,
+                       bands=None, dq=None, row_a=None, dense=None,
+                       dq_idx=None, *,
                        comp_rows: int, out_rows: int,
                        interpret: bool = False, pipeline_depth: int = 2,
                        mt_max: int = _MT_MAX, static_bands: bool = False):
@@ -424,6 +443,10 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         dq = jnp.zeros((1, 8, 128), jnp.int16)
         row_a = jnp.zeros((1, 1, 8, 128), jnp.int32)
         dense = jnp.zeros(n, jnp.int32)
+        dq_idx = jnp.zeros(n, jnp.int32)
+    elif dq_idx is None:
+        # Uncompacted planes: block i's wire lives at row i.
+        dq_idx = jnp.arange(n, dtype=jnp.int32)
     nrows = out_rows
     assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
     assert comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows"
@@ -454,10 +477,20 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
     if with_dense:
+        # Block i's wire row comes from the dq_idx prefetch vector (the
+        # planes are compacted: identity/none blocks carry no wire and
+        # point at a neighboring row, which Pallas only re-fetches when
+        # the index changes).
+        def _dq_map(i, pu, po, p0r, dn, di, bd):
+            return (di[i], 0, 0)
+
+        def _ra_map(i, pu, po, p0r, dn, di, bd):
+            return (di[i], 0, 0, 0)
+
         dense_specs = [
-            pl.BlockSpec((1,) + dq.shape[1:], lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1,) + dq.shape[1:], _dq_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + row_a.shape[1:], lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1,) + row_a.shape[1:], _ra_map,
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -468,7 +501,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                          memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n,),
         in_specs=plan_specs + dense_specs + [
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
@@ -496,7 +529,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(p_used, p_off, p0, dense, bands, se_flat, shift_flat, dq, row_a, comp)
+    )(p_used, p_off, p0, dense, dq_idx, bands, se_flat, shift_flat,
+      dq, row_a, comp)
 
 
 @functools.partial(jax.jit, static_argnames=("comp_rows",))
@@ -742,10 +776,17 @@ def decode_flat_numpy(comp_bytes, plans, comp_rows, out_rows):
         comp_plane[:len(cb)] = cb
         out_plane = np.zeros(out_rows * LANES, np.int64)
         p = np.arange(out_rows * LANES)
+        # Identity-dense (RAW) block: output IS the comp plane.
+        if plans.get("dense") is not None and plans["dense"][i] < 0:
+            w = min(out_rows * LANES, comp_plane.shape[0])
+            out[i, :w] = comp_plane[:w].astype(np.uint8)
+            continue
         # Dense comp passes first (per-byte wire; see plan.cc Densify).
-        if plans.get("dense") is not None and plans["dense"][i]:
-            dq = plans["dq"][i].reshape(-1).astype(np.int64)     # [rows*128]
-            ra = plans["row_a"][i]        # [D, 128, tiles] or [D, nrows]
+        if plans.get("dense") is not None and plans["dense"][i] > 0:
+            k = (int(plans["dq_idx"][i]) if plans.get("dq_idx") is not None
+                 else i)
+            dq = plans["dq"][k].reshape(-1).astype(np.int64)     # [rows*128]
+            ra = plans["row_a"][k]        # [D, 128, tiles] or [D, nrows]
             pid = (dq >> 9) & 0x3F
             qlane = dq & (LANES - 1)
             drow = (dq >> 7) & 3
