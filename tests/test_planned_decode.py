@@ -414,6 +414,59 @@ def test_fill_fragments_fuzz_overlap_matches(rng):
             f"trial {trial} period {period}"
 
 
+def test_identity_dense_and_compacted_wire(rng):
+    # dense = -1 blocks (RAW) decode as a verbatim comp-plane copy with
+    # no per-byte wire; dq_idx points wire-carrying blocks at rows of a
+    # COMPACTED dq/row_a array.  Mixed batch: [RAW, text, RAW] with a
+    # 1-row compact wire.
+    from bitar_tpu.ops.pallas.lz4_decode_flat import (
+        attach_dense_planes, decode_blocks_flat, decode_flat_numpy,
+        flatten_batch_plans)
+    import jax.numpy as jnp
+
+    block = 16 * 1024
+    nrows = block // 128
+    raw_blk = rng.integers(0, 256, block, np.uint8).tobytes()
+    txt_blk = (b"identity dense wire " * (block // 19 + 1))[:block]
+    comp_txt = np.asarray(native.lz4_compress(txt_blk, min_match=6))
+    se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
+        comp_txt, np.zeros(1, np.int64), np.array([len(comp_txt)], np.int32),
+        np.array([block], np.int32), np.zeros(1, np.int32), nrows, 160, cb=4)
+    assert st[0] == 0 and dn[0] > 0
+    plans = attach_dense_planes(
+        flatten_batch_plans(se, sh, pu, p0, nrows), dq, ra, dn)
+    # assemble the 3-block batch: RAW blocks have no plan rows, no wire
+    datas = [raw_blk, txt_blk, raw_blk]
+    comps = [np.frombuffer(raw_blk, np.uint8), comp_txt,
+             np.frombuffer(raw_blk, np.uint8)]
+    comp_rows = nrows                         # RAW fills the whole plane
+    batch = {
+        "p_used": np.array([0, int(pu[0]), 0], np.int32),
+        "p_off": np.zeros(3, np.int32),
+        "p0": np.array([0, int(p0[0]), 0], np.int32),
+        "se": plans["se"], "shift": plans["shift"],
+        "dq": plans["dq"], "row_a": plans["row_a"],
+        "dense": np.array([-1, int(dn[0]), -1], np.int32),
+        "dq_idx": np.zeros(3, np.int32),      # all point at wire row 0
+    }
+    oracle = decode_flat_numpy(comps, batch, comp_rows, nrows)
+    for i, d in enumerate(datas):
+        assert oracle[i].reshape(-1)[:block].tobytes() == d, f"oracle {i}"
+    cp = np.zeros((3, comp_rows, 128), np.uint8)
+    for i, c in enumerate(comps):
+        cp[i].reshape(-1)[:len(c)] = c
+    cp_i8 = (cp.astype(np.int32) - 128).astype(np.int8)
+    out = np.asarray(decode_blocks_flat(
+        jnp.asarray(cp_i8), jnp.asarray(batch["p_used"]),
+        jnp.asarray(batch["p_off"]), jnp.asarray(batch["p0"]),
+        jnp.asarray(batch["se"]), jnp.asarray(batch["shift"]), None,
+        jnp.asarray(batch["dq"]), jnp.asarray(batch["row_a"]),
+        jnp.asarray(batch["dense"]), jnp.asarray(batch["dq_idx"]),
+        comp_rows=comp_rows, out_rows=nrows, interpret=True))
+    for i, d in enumerate(datas):
+        assert out[i].reshape(-1)[:block].tobytes() == d, f"kernel {i}"
+
+
 def test_pass_economics_by_corpus_class(rng):
     # Decode cost = scheduled + dense passes; these budgets encode the
     # dense-pass + min_match design targets (ARCHITECTURE.md roofline).
