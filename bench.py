@@ -99,9 +99,13 @@ def main() -> int:
     t0 = time.perf_counter()
     eng.ensure_plans(unit)
     plan_ms = (time.perf_counter() - t0) * 1e3
+    pf = unit.plan_flat
+    dn = pf["dense"] if pf is not None else None
     print(f"bench: ratio={unit.manifest.ratio():.3f} blocks={unit.nblocks} "
-          f"planned={unit.plan_flat is not None} "
-          f"passes={int(unit.plan_flat['p_used'].sum()) if unit.plan_flat else -1} "
+          f"planned={pf is not None} "
+          f"passes={int(pf['p_used'].sum()) if pf is not None else -1} "
+          f"dense={int(np.maximum(dn, 0).sum()) if dn is not None else -1} "
+          f"identity={int((dn < 0).sum()) if dn is not None else -1} "
           f"plan_build={plan_ms:.1f}ms",
           file=sys.stderr)
 

@@ -384,9 +384,14 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
     @pl.when(dense_ref[b] >= 0)
     def _phases():
         lax.fori_loop(0, ncomp_chunks, comp_chunk, 0)
-        # Comp batches skip mirror upkeep; sync once before the out phase.
-        out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
-        lax.fori_loop(ncomp_chunks, nchunks, out_chunk, 0)
+
+        # Comp batches skip mirror upkeep; sync once before the out
+        # phase — only needed if out passes will read the mirror.
+        @pl.when(nchunks > ncomp_chunks)
+        def _out_phase():
+            out_sc[:, LANES:] = jnp.roll(out_sc[:, 0:LANES], -1, axis=0)
+            lax.fori_loop(ncomp_chunks, nchunks, out_chunk, 0)
+
         out_ref[0] = (out_sc[:, 0:LANES].astype(jnp.int32)
                       + 128).astype(jnp.uint8)
 
