@@ -178,7 +178,8 @@ class EngineConfig:
                                         # marginal hash-collision matches (measured:
                                         # text ratio +3%, barely-compressible blocks
                                         # go literal-only and decode in ~1 pass
-                                        # instead of ~43).  Host matcher only.
+                                        # instead of ~43).  Applies to the host
+                                        # matcher AND the TPU-matcher emitters.
     window_log: int = 16                # match window log2; LZ4 format caps at 16
     checksum: Checksum = Checksum.NONE
     max_pool_slots: int = 4096          # arena slot budget (memzone budget analog)

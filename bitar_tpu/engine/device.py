@@ -61,6 +61,7 @@ from ..ops.pallas.lz4_decode_flat import (
     bias_planes,
     compute_bands,
     decode_blocks_flat,
+    pack_row_a_planes,
 )
 from ..status import Status, StatusError
 from ..utils.logging import get_logger
@@ -504,7 +505,8 @@ class Engine:
         chunk = self._PLAN_CHUNK_BLOCKS
 
         def plan_all(brows: int):
-            ctxs, pus, p0s, oks, lus, dqs, ras, dss = ([] for _ in range(8))
+            ctxs, pus, p0s, oks, lus, dss = ([] for _ in range(6))
+            dq_parts, ra_parts = [], []
             for s in range(0, n, chunk):
                 e = min(n, s + chunk)
                 lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
@@ -521,24 +523,31 @@ class Engine:
                 pu[~okc] = 0
                 p0c[~okc] = 0
                 ds[~okc] = 0
+                # Compact the dense planes per chunk (only dense > 0
+                # blocks carry wire; anchors trim to the chunk's own
+                # pass count) so plan scratch stays bounded by ACTUAL
+                # dense content, not nblocks x 64 anchor planes.
+                selc = np.flatnonzero(ds > 0)
+                dq_parts.append(np.ascontiguousarray(dq[selc]))
+                dmax_c = max(1, int(ds.max(initial=0)))
+                ra_parts.append(np.ascontiguousarray(
+                    ra.reshape(e - s, -1, nrows)[selc, :dmax_c]))
                 ctxs.append((ctx, s, e))
                 pus.append(pu)
                 p0s.append(p0c)
                 oks.append(okc)
                 lus.append(lu)
-                dqs.append(dq)
-                ras.append(ra)
                 dss.append(ds)
             return (ctxs, np.concatenate(pus), np.concatenate(p0s),
                     np.concatenate(oks), np.concatenate(lus),
-                    np.concatenate(dqs), np.concatenate(ras),
-                    np.concatenate(dss))
+                    dq_parts, ra_parts, np.concatenate(dss))
 
         def abort_all(ctxs):
             for ctx, _, _ in ctxs:
                 native.plan_batch_abort(ctx)
 
-        ctxs, p_used, p0, ok, lit_used, dq, row_a, dense = plan_all(band_rows)
+        ctxs, p_used, p0, ok, lit_used, dq_parts, ra_parts, dense = \
+            plan_all(band_rows)
         if band_rows and not ok.all():
             # Some block only fails under the band constraint: re-plan
             # unbanded so banding (an optimization) never shrinks device
@@ -547,7 +556,8 @@ class Engine:
             # banding uniform (the kernel's band promise is per launch).
             abort_all(ctxs)
             band_rows = 0
-            ctxs, p_used, p0, ok, lit_used, dq, row_a, dense = plan_all(0)
+            ctxs, p_used, p0, ok, lit_used, dq_parts, ra_parts, dense = \
+                plan_all(0)
         if not ok.any():
             abort_all(ctxs)
             return None               # nothing plannable: fallback paths
@@ -573,15 +583,18 @@ class Engine:
         # dense-pass count (power-of-two quantized: shared kernel
         # shapes).
         dense = dense.astype(np.int32)
-        sel = np.flatnonzero(dense > 0)
+        nd = sum(p.shape[0] for p in dq_parts)
         dmax = max(1, int(dense.max(initial=0)))
         dcap = 1 << (dmax - 1).bit_length()
-        row_a = row_a.reshape(n, -1, nrows)[:, :dcap]
-        if sel.size:
-            dq_c = np.ascontiguousarray(dq[sel])
-            ra_c = np.ascontiguousarray(
-                row_a[sel].reshape(-1, dcap, tiles, LANES
-                                   ).transpose(0, 1, 3, 2))
+        if nd:
+            dq_c = np.concatenate(dq_parts)
+            ra_cat = np.zeros((nd, dcap, nrows), np.int32)
+            o = 0
+            for p in ra_parts:
+                ra_cat[o:o + p.shape[0], :min(p.shape[1], dcap)] = \
+                    p[:, :dcap]
+                o += p.shape[0]
+            ra_c = pack_row_a_planes(ra_cat, dcap)
         else:
             dq_c = np.zeros((1, nrows, 128), np.int16)
             ra_c = np.zeros((1, dcap, LANES, tiles), np.int32)

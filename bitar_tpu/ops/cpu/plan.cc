@@ -817,9 +817,10 @@ extern "C" {
 // for bt_plan_batch_pack / bt_plan_batch_abort (never NULL for
 // nblocks > 0; NULL for nblocks <= 0).
 // dq / row_a / dense are the dense-pass planes (see Planner::Densify):
-// dq int16 [nblocks][nrows*128], row_a int32 [nblocks][16][nrows]
-// (pass-major anchor planes; only the first `dense[i]` planes are
-// meaningful), dense int32 [nblocks] = number of dense passes (0..15).
+// dq int16 [nblocks][nrows*128], row_a int32 [nblocks][64][nrows]
+// (pass-major anchor planes, kDenseMax+1 = 64 per block; only the first
+// `dense[i]` are meaningful), dense int32 [nblocks] = number of dense
+// passes (0..63), or -1 for identity (RAW) blocks.
 void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                           int nblocks, const uint8_t* src,
                           const int64_t* src_off, const int32_t* src_len,
@@ -927,6 +928,9 @@ void bt_plan_batch(int codec, const int32_t* codec_ids, int nthreads,
 int bt_plan_frags(int codec, const uint8_t* src, int src_len, int out_len,
                   int split_limit, int cap, int32_t* dst, int32_t* len,
                   int32_t* shift, int32_t* space, int32_t* aux) {
+  if (codec != BT_CODEC_LZ4 && codec != BT_CODEC_SNAPPY) {
+    return BT_ERR_NOT_IMPLEMENTED;  // zstd/raw have no frag-export path
+  }
   static thread_local std::vector<int32_t> seq_buf;
   const int max_seq = std::max(src_len, out_len) + 2;
   if (static_cast<int>(seq_buf.size()) < max_seq * 5) {

@@ -411,7 +411,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     Args:
       comp:     [N, comp_rows, 128] int8 biased compressed planes
                 (byte - 128; see ``bias_planes``)
-      p_used:   [N] int32 per-block pass counts (multiples of CB, >= CB)
+      p_used:   [N] int32 per-block scheduled pass counts (multiples of
+                CB; 0 for identity-dense and dense-only blocks)
       p_off:    [N] int32 per-block start row into the flat plan arrays
       p0:       [N] int32 per-block comp-pass counts (multiples of CB)
       se_flat:  [S, out_rows/128, 128] int16, S >= sum(p_used) + DCHUNK
@@ -617,6 +618,20 @@ def flatten_batch_plans(se, shift, p_used, p0, nrows):
             "se": se_flat, "shift": sh_flat}
 
 
+def pack_row_a_planes(row_a: np.ndarray, dcap: int) -> np.ndarray:
+    """[m, D, nrows] pass-major anchors -> the kernel's [m, dcap, 128,
+    tiles] column layout (trimmed or zero-padded to ``dcap`` planes).
+    The single writer of this layout — keep the engine and the test
+    helper byte-identical."""
+    m, D, nrows = row_a.shape
+    tiles = nrows // LANES
+    ra = row_a[:, :dcap]
+    if dcap > D:
+        ra = np.pad(ra, ((0, 0), (0, dcap - D), (0, 0)))
+    return np.ascontiguousarray(
+        ra.reshape(m, dcap, tiles, LANES).transpose(0, 1, 3, 2))
+
+
 def attach_dense_planes(plans: dict, dq: np.ndarray, row_a: np.ndarray,
                         dense: np.ndarray) -> dict:
     """Attach the planner's dense comp-pass planes to a flat-plan dict.
@@ -634,12 +649,9 @@ def attach_dense_planes(plans: dict, dq: np.ndarray, row_a: np.ndarray,
     # to powers of two so the kernel shape (and its Mosaic compile) is
     # shared across units.
     dmax = max(1, int(dense.max(initial=0)))
-    D = min(D, 1 << (dmax - 1).bit_length())
-    row_a = row_a[:, :D]
+    dcap = min(D, 1 << (dmax - 1).bit_length())
     if nrows % LANES == 0:
-        tiles = nrows // LANES
-        plans["row_a"] = np.ascontiguousarray(
-            row_a.reshape(n, D, tiles, LANES).transpose(0, 1, 3, 2))
+        plans["row_a"] = pack_row_a_planes(row_a, dcap)
     else:
         # Oracle-only plans (the kernel requires lane-tiled rows): keep
         # the natural per-row layout, which decode_flat_numpy accepts.
