@@ -395,7 +395,7 @@ _CODEC_INT = {"lz4": 0, "snappy": 1, "zstd": 2, "raw": 3}
 
 def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
                     out_len: np.ndarray, codec_ids: np.ndarray, nrows: int,
-                    max_passes: int, cb: int, split_limit: int = 8,
+                    max_passes: int, cb: int, split_limit: int = 128,
                     nthreads: int = 0, lit_out: np.ndarray | None = None,
                     lit_stride: int = 0, band_rows: int = 0,
                     band_tile: int = 0):
@@ -457,7 +457,7 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
 def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
                      src_len: np.ndarray, out_len: np.ndarray,
                      codec_ids: np.ndarray, nrows: int, max_passes: int,
-                     cb: int, split_limit: int = 8, nthreads: int = 0,
+                     cb: int, split_limit: int = 128, nthreads: int = 0,
                      lit_out: np.ndarray | None = None, lit_stride: int = 0,
                      band_rows: int = 0, band_tile: int = 0):
     """Phase 1 of the compact two-phase planner.
