@@ -347,6 +347,7 @@ class Planner {
       const int r0 = f.dst / 128;
       const int r1 = (f.dst + f.len - 1) / 128;
       for (int r = r0; r <= r1; ++r) {
+        if (cell_is_dense(f.cell_base + (r - r0))) continue;
         const int32_t cell_lo = std::max(f.dst, r * 128);
         const int32_t cell_hi = std::min(f.dst + f.len, (r + 1) * 128);
         const int32_t cs = CellShift(f, r);
@@ -424,6 +425,22 @@ class Planner {
   // Must run before Schedule(); fills cell_dense_ (parallel to
   // cell_pass_) and the caller-provided planes.
   static constexpr int kDenseMax = 63;   // pass ids 1..63 in 6 wire bits
+
+  // Transitively resolve output byte p to its comp-plane source, chasing
+  // out-space and fill fragments (chains strictly reference earlier
+  // positions, so this terminates; the depth cap guards pathologies).
+  // Returns the comp position or -1.
+  int32_t ResolveToComp(int32_t p, int depth = 0) const {
+    while (depth++ <= 64) {
+      const int fi = FindIdx(p);
+      if (fi < 0) return -1;
+      const Frag& f = frags_[fi];
+      if (f.out_space == kComp) return p + f.shift;
+      p += CellShift(f, p >> 7);     // kOut: f.shift; kFill: row remap
+    }
+    return -1;
+  }
+
   void Densify(int nrows, int16_t* dq, int32_t* row_a, int32_t* dense_out) {
     AllocCells();
     cell_dense_.assign(cell_pass_.size(), 0);
@@ -432,24 +449,60 @@ class Planner {
                 sizeof(int32_t) * static_cast<size_t>(kDenseMax + 1) * nrows);
     *dense_out = 0;
 
-    struct Cell { int32_t frag; int32_t lo, hi; int32_t srlo, srhi; };
+    // src_base >= 0: per-byte resolved sources in byte_src (out/fill
+    // cells whose bytes ALL chase to comp within a 3-row window);
+    // src_base < 0: slope-1 comp cell, src = p + frag.shift.
+    struct Cell { int32_t frag; int32_t lo, hi, srlo, srhi, src_base; };
     static thread_local std::vector<Cell> cells;
     static thread_local std::vector<int32_t> row_head;
+    static thread_local std::vector<int32_t> byte_src;
     cells.clear();
     row_head.assign(static_cast<size_t>(nrows) + 1, 0);
+    byte_src.clear();
 
-    // Bucket comp cells by row (fragments are dst-ordered, so cells
-    // arrive row-sorted per row; counting sort by row).
+    // Bucket candidate cells by row (fragments are dst-ordered, so
+    // cells arrive row-sorted; counting sort by row).
     for (int fi = 0; fi < static_cast<int>(frags_.size()); ++fi) {
       const Frag& f = frags_[fi];
-      if (f.out_space != kComp) continue;
       const int r0 = f.dst / 128;
       const int r1 = (f.dst + f.len - 1) / 128;
       for (int r = r0; r <= r1 && r < nrows; ++r) {
         const int32_t lo = std::max(f.dst, r * 128);
         const int32_t hi = std::min(f.dst + f.len, (r + 1) * 128);
-        cells.push_back({fi, lo, hi, (lo + f.shift) >> 7,
-                         (hi - 1 + f.shift) >> 7});
+        if (f.out_space == kComp) {
+          cells.push_back({fi, lo, hi, (lo + f.shift) >> 7,
+                           (hi - 1 + f.shift) >> 7, -1});
+          ++row_head[r + 1];
+          continue;
+        }
+        // Out/fill cell: per-byte transitive resolution.  Cheap gate:
+        // both endpoints must resolve to rows <= 2 apart before paying
+        // for the full per-byte chase (RLE doubling pieces and periodic
+        // fills resolve to a literal-byte window; deep scattered chains
+        // reject on the endpoints).
+        const int32_t s_lo = ResolveToComp(lo);
+        if (s_lo < 0) continue;
+        const int32_t s_hi = ResolveToComp(hi - 1);
+        if (s_hi < 0) continue;
+        int32_t rlo = std::min(s_lo, s_hi) >> 7;
+        int32_t rhi = std::max(s_lo, s_hi) >> 7;
+        if (rhi - rlo > 2) continue;
+        const int32_t base = static_cast<int32_t>(byte_src.size());
+        byte_src.resize(base + (hi - lo));
+        bool ok = true;
+        for (int32_t p = lo; p < hi; ++p) {
+          const int32_t s = ResolveToComp(p);
+          if (s < 0) { ok = false; break; }
+          rlo = std::min(rlo, s >> 7);
+          rhi = std::max(rhi, s >> 7);
+          if (rhi - rlo > 2) { ok = false; break; }
+          byte_src[base + (p - lo)] = s;
+        }
+        if (!ok) {
+          byte_src.resize(base);
+          continue;
+        }
+        cells.push_back({fi, lo, hi, rlo, rhi, base});
         ++row_head[r + 1];
       }
     }
@@ -499,7 +552,9 @@ class Planner {
           const int fr0 = f.dst / 128;
           cell_dense_[f.cell_base + (r - fr0)] = 1;
           for (int32_t p = c.lo; p < c.hi; ++p) {
-            const int32_t src = p + f.shift;
+            const int32_t src = c.src_base < 0
+                                    ? p + f.shift
+                                    : byte_src[c.src_base + (p - c.lo)];
             const int32_t drow = (src >> 7) - w.a;
             dq[p] = static_cast<int16_t>(((j + 1) << 9) | (drow << 7) |
                                          (src & 127));

@@ -377,8 +377,9 @@ def test_fill_fragments_periodic_data(rng):
         comp_rows = -(-len(comp) // 128)
         plans = attach_dense_planes(
             {"p_used": pu, "p_off": np.zeros(1, np.int32), "p0": p0,
-             "se": se[0, :P].reshape(P, -1, 128),
-             "shift": sh[0, :P].reshape(P, -1, 128)}, dq, ra, dn)
+             "se": se[0, :P].reshape(P, nrows // 128, 128),
+             "shift": sh[0, :P].reshape(P, nrows // 128, 128)},
+            dq, ra, dn)
         out = decode_flat_numpy([comp.tobytes()], plans, comp_rows, nrows)
         assert out.reshape(-1).tobytes()[:block] == raw, name
 
