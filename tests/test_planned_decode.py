@@ -484,7 +484,7 @@ def test_pass_economics_by_corpus_class():
         "random": lrng.integers(0, 256, block, np.uint8).tobytes(),
         "rle": bytes([7]) * block,
     }
-    caps = {"text": 8, "lowent": 4, "random": 4, "rle": 12}
+    caps = {"text": 4, "lowent": 2, "random": 2, "rle": 4}
     for name, raw in budgets.items():
         comp = np.asarray(native.lz4_compress(raw, min_match=6))
         se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
