@@ -615,12 +615,24 @@ class Engine:
                 int(i): lit_out[int(i) * cfg.block_size:
                                 int(i) * cfg.block_size + int(lit_used[i])].copy()
                 for i in np.flatnonzero(zmask)}
-        comp_rows = max(128, -(-int(plane_bytes.max(initial=1)) // 128))
-        comp_rows = -(-comp_rows // 128) * 128
-        if comp_rows > 128:
-            # Banded gathers want KB-tiled planes (KB = min(KBAND, rows));
-            # the padding is at most KBAND-128 rows of never-read slack.
-            comp_rows = -(-comp_rows // KBAND) * KBAND
+        def _round_rows(nbytes: int) -> int:
+            r = max(128, -(-nbytes // 128))
+            r = -(-r // 128) * 128
+            if r > 128:
+                # Banded gathers want KB-tiled planes (KB = min(KBAND,
+                # rows)); padding is at most KBAND-128 never-read rows.
+                r = -(-r // KBAND) * KBAND
+            return r
+
+        comp_rows = _round_rows(int(plane_bytes.max(initial=1)))
+        # Gather scratch height: identity (RAW) blocks carry the biggest
+        # planes but never touch the gather scratch — size it (and the
+        # gather K) by the NON-identity maximum only.  Often 128 rows on
+        # mixed corpora vs a 10x taller full plane.
+        nid = dense >= 0
+        gather_rows = min(comp_rows, _round_rows(
+            int(plane_bytes[nid].max(initial=1)) if nid.any() else 1))
+        plans["gather_rows"] = gather_rows
         # Band table selection, in preference order:
         #   1. static bands (plans built with band_rows=KBAND): every
         #      gather is one branch-free KBAND-row matmul;
@@ -631,9 +643,9 @@ class Engine:
         #   3. no bands (full-K gathers) for <= 1024-row out planes —
         #      measured fastest (1.48 vs 1.29 GB/s static at 128 KiB,
         #      256-block launches), incl. comp planes up to 2x nrows.
-        if bands_supported(comp_rows, nrows):
+        if bands_supported(gather_rows, nrows):
             if band_rows:
-                bands = compute_bands(plans, comp_rows, nrows)
+                bands = compute_bands(plans, gather_rows, nrows)
                 if int((bands & 0xFF).max(initial=0)) <= 1:
                     plans["bands"] = bands
                     plans["bands_static"] = True
@@ -641,7 +653,7 @@ class Engine:
                 # broken — fall through to the unbanded kernel rather
                 # than decode garbage
             elif nrows > 1024:
-                plans["bands"] = compute_bands(plans, comp_rows, nrows)
+                plans["bands"] = compute_bands(plans, gather_rows, nrows)
         return plans, comp_rows
 
     def decompress(self, unit: CompressedUnit, out: np.ndarray | None = None
@@ -851,6 +863,7 @@ class Engine:
                 jnp.asarray(p0), se_dev, shift_dev, plans.get("bands"),
                 dq_b, ra_b, dn_b, di_b,
                 comp_rows=comp_rows, out_rows=nrows,
+                gather_rows=plans.get("gather_rows", comp_rows),
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
                 static_bands=plans.get("bands_static", False))
@@ -910,6 +923,7 @@ class Engine:
                 planes, p_used, p_off, p0, se_dev, shift_dev, bands,
                 dq_dev, ra_dev, dense_dev, didx_dev,
                 comp_rows=comp_rows, out_rows=nrows,
+                gather_rows=plans.get("gather_rows", comp_rows),
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
                 static_bands=static)

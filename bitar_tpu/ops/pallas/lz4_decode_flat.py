@@ -85,7 +85,8 @@ def _colcast(vt, t0: int, nt: int):
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
                  bands_ref, se_ref, shift_ref, dq_ref, row_a_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
-                 comp_rows: int, out_rows: int, prefetch: bool,
+                 comp_rows: int, out_rows: int, gather_rows: int,
+                 prefetch: bool,
                  plans_vmem: bool, banded: bool, static_bands: bool,
                  with_dense: bool, mt_max: int):
     if plans_vmem:
@@ -130,7 +131,11 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
 
     @pl.when(dense_ref[b] >= 0)
     def _scratch_init():
-        comp_i8 = comp_ref[0]
+        # Non-identity blocks' comp bytes fit gather_rows (<= comp_rows:
+        # the full plane height is driven by identity/RAW blocks, which
+        # never touch this scratch) — fills and gather K shrink to the
+        # data that can actually be sourced.
+        comp_i8 = comp_ref[0][:gather_rows]
         comp_sc[:, 0:LANES] = comp_i8
         comp_sc[:, LANES:2 * LANES] = jnp.roll(comp_i8, -1, axis=0)
         if with_dense:
@@ -363,8 +368,8 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
                     ra = _colcast(row_a_ref[0, j], t0, nt)   # [MT, 128]
                     ra1 = ra[:, 0:1]
                     acc = jnp.zeros((MT, 3 * LANES), jnp.int32)
-                    for ck in range(0, comp_rows, KC):
-                        kc = min(KC, comp_rows - ck)
+                    for ck in range(0, gather_rows, KC):
+                        kc = min(KC, gather_rows - ck)
                         kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
                         oh = (kio == (ra1 - ck)).astype(jnp.int8)
                         acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
@@ -398,12 +403,13 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("comp_rows", "out_rows", "interpret", "pipeline_depth",
-                     "mt_max", "static_bands"))
+    static_argnames=("comp_rows", "out_rows", "gather_rows", "interpret",
+                     "pipeline_depth", "mt_max", "static_bands"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                        bands=None, dq=None, row_a=None, dense=None,
                        dq_idx=None, *,
                        comp_rows: int, out_rows: int,
+                       gather_rows: int | None = None,
                        interpret: bool = False, pipeline_depth: int = 2,
                        mt_max: int = _MT_MAX, static_bands: bool = False):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
@@ -456,6 +462,10 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     nrows = out_rows
     assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
     assert comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows"
+    if gather_rows is None:
+        gather_rows = comp_rows
+    assert gather_rows % LANES == 0 and gather_rows <= comp_rows, \
+        "gather_rows must be lane-tiled and within the comp plane"
     assert se_flat.shape[0] >= DCHUNK, "plan arrays need DCHUNK slack rows"
     assert se_flat.dtype == jnp.int16 and shift_flat.dtype == jnp.int32
     assert comp.dtype == jnp.int8
@@ -516,13 +526,14 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         out_specs=pl.BlockSpec((1, out_rows, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((comp_rows, (3 if with_dense else 2) * LANES),
+            pltpu.VMEM((gather_rows, (3 if with_dense else 2) * LANES),
                        jnp.int8),
             pltpu.VMEM((out_rows, 2 * LANES), jnp.int8),
         ] + extra_scratch,
     )
     kernel = functools.partial(
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
+        gather_rows=gather_rows,
         prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded,
         static_bands=static_bands, with_dense=with_dense, mt_max=mt_max)
     return pl.pallas_call(
