@@ -43,8 +43,8 @@ BLOCK = 128 * 1024
 # even for an empty kernel on this setup): 64 -> 256 blocks lifted the
 # same kernel from 0.94 to 1.48 GB/s.  The reference's analog is burst
 # sizing (config.h:146-152).
-NBLOCKS = 256
-REPS = 8
+NBLOCKS = int(os.environ.get("BENCH_NBLOCKS", "256"))
+REPS = int(os.environ.get("BENCH_REPS", "8"))
 
 
 def make_corpus(nblocks: int) -> bytes:
@@ -81,6 +81,11 @@ def make_text_corpus(nblocks: int) -> bytes:
 
 def main() -> int:
     import jax
+
+    # BENCH_PLATFORM=cpu forces a CPU (interpret-mode) smoke run even on
+    # hosts whose sitecustomize pins JAX_PLATFORMS to the accelerator.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     import bitar_tpu as bt
     from bitar_tpu.utils.profiling import annotate
