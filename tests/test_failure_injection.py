@@ -128,3 +128,36 @@ def test_status_api_zero_on_clean_unit(rng):
         assert out.tobytes() == data
         assert eng.error_count() == 0
         eng.recycle(unit)
+
+
+def test_container_mutation_fuzz(rng):
+    # Randomized byte mutations over a serialized container must never
+    # crash, hang, or silently return wrong bytes: every outcome is
+    # either a clean StatusError (CRC/parse/validate) or a per-block
+    # status naming the damage.  The reference's entire error model is
+    # status propagation (util.h:157-207) — no hostile input may escape
+    # it.
+    data = (b"fuzz me gently " * 4000)[:24 * BLOCK] \
+        + rng.integers(0, 256, 4 * BLOCK, np.uint8).tobytes()
+    blob = bytes(make_unit_bytes(cfg(), data).to_bytes())
+    with bt.Engine(cfg()) as eng:
+        for trial in range(60):
+            bad = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                bad[int(rng.integers(0, len(bad)))] ^= int(
+                    rng.integers(1, 256))
+            try:
+                unit = eng.import_unit(CompressedBuffers.from_bytes(
+                    bytes(bad)))
+            except StatusError:
+                continue                      # rejected at import: fine
+            try:
+                out, status = eng.decompress_status(unit)
+                if (status == 0).all():
+                    # Everything decoded "cleanly": bytes must be right
+                    # (possible when the mutation hit container padding).
+                    assert out.tobytes() == data, f"trial {trial}: silent corruption"
+            except StatusError:
+                pass                          # raised cleanly: fine
+            finally:
+                eng.recycle(unit)
