@@ -4,8 +4,10 @@ from . import multihost
 from .ring import distributed_step_ring
 from .pipeline import (
     distributed_step,
+    distributed_step_flat,
     distributed_step_planned,
     prepare_distributed_step,
+    prepare_flat_wires_for_recv,
     reorder_plans_for_recv,
     reorder_tables_for_recv,
 )
@@ -24,6 +26,7 @@ __all__ = [
     "multihost",
     "ShufflePlan",
     "distributed_step",
+    "distributed_step_flat",
     "distributed_step_planned",
     "distributed_step_ring",
     "execute_shuffle",
@@ -33,6 +36,7 @@ __all__ = [
     "pad_block_count",
     "plan_shuffle",
     "prepare_distributed_step",
+    "prepare_flat_wires_for_recv",
     "prepare_sharded_batch",
     "reorder_tables_for_recv",
     "shard_blocks",

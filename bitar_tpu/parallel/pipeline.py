@@ -185,3 +185,124 @@ def prepare_distributed_step(mesh: Mesh, plan: ShufflePlan,
         seq_cap=tables[_TABLE_KEYS[0]].shape[1],
         block_size=block_size)
     return args, kwargs
+
+
+def prepare_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
+                                sh: np.ndarray, p_used: np.ndarray,
+                                p0: np.ndarray, dq: np.ndarray,
+                                row_a: np.ndarray, dense: np.ndarray,
+                                nrows: int) -> dict[str, np.ndarray]:
+    """Arrange per-block flat-plan buffers into PER-DESTINATION stacked
+    wires for ``distributed_step_flat``.
+
+    Inputs are ``bt_plan_batch``'s per-block buffers: se/sh
+    [n, max_passes, nrows], dq [n, nrows, 128] int16, row_a
+    [n, DENSE_PLANES, nrows] int32, dense [n] (0..63, or -1 identity).
+    Output arrays all have a leading [D] destination axis (sharded on
+    the blocks axis by the step); per-destination flat wires are padded
+    to common static sizes so the stacked shapes agree.
+    """
+    from ..ops.pallas.lz4_decode_flat import DCHUNK, LANES, _S_QUANTUM
+
+    d, rpp = plan.num_devices, plan.rows_per_pair
+    nwire = d * rpp
+    tiles = nrows // LANES
+    dmax = max(1, int(dense.max(initial=0)))
+    dcap = 1 << (dmax - 1).bit_length()
+
+    per = []
+    for dst in range(d):
+        blocks = plan.recv_block[dst].reshape(-1)        # [d*rpp], -1 idle
+        sel = np.maximum(blocks, 0)
+        live = blocks >= 0
+        pu = np.where(live, p_used[sel], 0).astype(np.int32)
+        p0d = np.where(live, p0[sel], 0).astype(np.int32)
+        dnd = np.where(live, dense[sel], 0).astype(np.int32)
+        p_off = np.zeros(nwire, np.int32)
+        p_off[1:] = np.cumsum(pu[:-1])
+        s_used = int(pu.sum())
+        se_w = np.zeros((s_used, tiles, LANES), np.int16)
+        sh_w = np.zeros((s_used, tiles, LANES), np.int32)
+        for j in np.flatnonzero(pu):
+            b, o, pj = int(sel[j]), int(p_off[j]), int(pu[j])
+            se_w[o:o + pj] = se[b, :pj].reshape(pj, tiles, LANES)
+            sh_w[o:o + pj] = sh[b, :pj].reshape(pj, tiles, LANES)
+        wsel = np.flatnonzero(dnd > 0)
+        dq_w = dq[sel[wsel]] if wsel.size else np.zeros(
+            (0, nrows, 128), np.int16)
+        ra_w = row_a[sel[wsel], :dcap] if wsel.size else np.zeros(
+            (0, dcap, nrows), np.int32)
+        dq_idx = np.maximum(np.cumsum(dnd > 0) - 1, 0).astype(np.int32)
+        per.append((pu, p_off, p0d, dnd, dq_idx, se_w, sh_w, dq_w, ra_w))
+
+    s_max = max(p[5].shape[0] for p in per)
+    s_pad = -(-(s_max + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+    nd_max = max(1, max(p[7].shape[0] for p in per))
+    out = {
+        "p_used": np.stack([p[0] for p in per]),
+        "p_off": np.stack([p[1] for p in per]),
+        "p0": np.stack([p[2] for p in per]),
+        "dense": np.stack([p[3] for p in per]),
+        "dq_idx": np.stack([p[4] for p in per]),
+        "se": np.zeros((d, s_pad, tiles, LANES), np.int16),
+        "shift": np.zeros((d, s_pad, tiles, LANES), np.int32),
+        "dq": np.zeros((d, nd_max, nrows, 128), np.int16),
+        "row_a": np.zeros((d, nd_max, dcap, LANES, tiles), np.int32),
+    }
+    from ..ops.pallas.lz4_decode_flat import pack_row_a_planes
+    for dst, p in enumerate(per):
+        out["se"][dst, :p[5].shape[0]] = p[5]
+        out["shift"][dst, :p[6].shape[0]] = p[6]
+        out["dq"][dst, :p[7].shape[0]] = p[7]
+        if p[8].shape[0]:
+            out["row_a"][dst, :p[8].shape[0]] = pack_row_a_planes(p[8], dcap)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rows_per_pair", "comp_rows", "block_size",
+                     "gather_rows", "interpret"))
+def distributed_step_flat(slot_rows, send_idx, valid, p_used, p_off, p0,
+                          dense, dq_idx, se, shift, dq, row_a, *,
+                          mesh: Mesh, rows_per_pair: int, comp_rows: int,
+                          block_size: int, gather_rows: int | None = None,
+                          interpret: bool = False):
+    """Fused shuffle + FLAT-PLAN decode over the mesh: the engine's fast
+    path (dense per-byte wire, identity RAW copies, scheduled passes)
+    lifted to pod level.  Each destination device decodes what it
+    received with ``decode_blocks_flat`` on its local shard.
+
+    Args (leading dim D sharded on the blocks axis; wires built by
+    ``prepare_flat_wires_for_recv``); ``slot_rows`` is [nblocks, slot]
+    pre-shuffle.  Returns [D * D*rpp, block_size] uint8 by destination.
+    """
+    from ..ops.pallas.lz4_decode_flat import bias_planes, decode_blocks_flat
+
+    d = mesh.devices.size
+    slot = slot_rows.shape[1]
+    nrows = block_size // 128
+
+    def local(rows_l, send_idx_l, valid_l, pu_l, po_l, p0_l, dn_l, di_l,
+              se_l, sh_l, dq_l, ra_l):
+        staged = rows_l[send_idx_l[0, 0]] * valid_l[0, 0][:, None].astype(
+            rows_l.dtype)
+        staged = staged.reshape(d, rows_per_pair, slot)
+        recv = jax.lax.all_to_all(staged, BLOCKS_AXIS, split_axis=0,
+                                  concat_axis=0)
+        recv = recv.reshape(d * rows_per_pair, slot)
+        planes = bias_planes(recv, comp_rows)
+        decoded = decode_blocks_flat(
+            planes, pu_l[0], po_l[0], p0_l[0], se_l[0], sh_l[0], None,
+            dq_l[0], ra_l[0], dn_l[0], di_l[0],
+            comp_rows=comp_rows, out_rows=nrows, gather_rows=gather_rows,
+            interpret=interpret)
+        return decoded.reshape(d * rows_per_pair, block_size)
+
+    spec = P(BLOCKS_AXIS)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec,) * 12, out_specs=spec,
+        check_vma=False,
+    )(slot_rows, send_idx, valid, p_used, p_off, p0, dense, dq_idx,
+      se, shift, dq, row_a)
