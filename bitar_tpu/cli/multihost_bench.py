@@ -71,6 +71,44 @@ def build_batch(nblocks: int):
     return datas, comps, se, shift, p_used, passes, comp_rows
 
 
+
+def build_batch_flat(nblocks: int):
+    """ Deterministic corpus + per-block FLAT plan buffers (dense wire)."""
+    import numpy as np
+
+    from bitar_tpu.ops.cpu import native
+
+    rng = np.random.default_rng(7)
+    datas = []
+    for i in range(nblocks):
+        k = i % 4
+        if k == 0:
+            datas.append(((b"multihost block %d " % i) * (BLOCK // 17 + 1))[:BLOCK])
+        elif k == 1:
+            datas.append(rng.integers(0, 8, BLOCK, dtype=np.uint8).tobytes())
+        elif k == 2:
+            datas.append(bytes([i & 0xFF]) * BLOCK)
+        else:
+            datas.append(rng.integers(0, 256, BLOCK, np.uint8).tobytes())
+    comps, cids = [], []
+    for x in datas:
+        c = np.asarray(native.lz4_compress(x, min_match=6))
+        if len(c) >= BLOCK:               # engine RAW fallback semantics
+            c = np.frombuffer(x, np.uint8)
+            cids.append(3)
+        else:
+            cids.append(0)
+        comps.append(c)
+    src = np.concatenate(comps)
+    lens = np.array([len(c) for c in comps], np.int32)
+    off = np.zeros(nblocks, np.int64)
+    off[1:] = np.cumsum(lens[:-1].astype(np.int64))
+    se, sh, pu, p0, st, _, dq, ra, dn = native.plan_batch_flat(
+        src, off, lens, np.full(nblocks, BLOCK, np.int32),
+        np.asarray(cids, np.int32), NROWS, 160, cb=4)
+    assert (st == 0).all(), st
+    return datas, comps, (se, sh, pu, p0, dq, ra, dn)
+
 def worker(args) -> int:
     # Platform setup must precede any jax backend use; the env var alone
     # is pinned by site configuration on the dev machine.
@@ -88,9 +126,11 @@ def worker(args) -> int:
 
     from bitar_tpu.parallel import (
         BLOCKS_AXIS,
+        distributed_step_flat,
         distributed_step_planned,
         make_mesh,
         plan_shuffle,
+        prepare_flat_wires_for_recv,
         reorder_plans_for_recv,
     )
 
@@ -101,14 +141,19 @@ def worker(args) -> int:
     pc, pi = args.processes, args.process_id
 
     nblocks = args.blocks
-    datas, comps, se, shift, p_used, passes, comp_rows = build_batch(nblocks)
+    flat_mode = args.step == "flat"
+    if flat_mode:
+        datas, comps, flat_bufs = build_batch_flat(nblocks)
+        comp_rows = NROWS                  # RAW blocks fill the plane
+    else:
+        datas, comps, se, shift, p_used, passes, comp_rows = \
+            build_batch(nblocks)
     slot = comp_rows * 128
     sizes = np.array([len(c) for c in comps], np.int64)
     splan = plan_shuffle(nblocks, d, sizes=sizes)
     rows = np.zeros((nblocks, slot), np.uint8)
     for i, c in enumerate(comps):
         rows[i, :len(c)] = c
-    rse, rshift, rp = reorder_plans_for_recv(splan, se, shift, p_used)
     per_src = nblocks // d
     send_idx = (splan.send_order % max(1, per_src)).reshape(d, 1, -1).astype(np.int32)
     valid = (splan.send_order >= 0).reshape(d, 1, -1)
@@ -123,13 +168,30 @@ def worker(args) -> int:
         return jax.make_array_from_process_local_data(
             sharding, a[pi * (a.shape[0] // pc):(pi + 1) * (a.shape[0] // pc)])
 
-    dev_args = (put(rows), put(send_idx), put(valid), put(rp),
-                put(rse.reshape(-1, passes, NROWS // 128, 128)),
-                put(rshift.reshape(-1, passes, NROWS // 128, 128)))
-    kwargs = dict(mesh=mesh, rows_per_pair=splan.rows_per_pair, passes=passes,
-                  comp_rows=comp_rows, block_size=BLOCK, interpret=True)
+    if flat_mode:
+        se, sh, pu, p0, dq, ra, dn = flat_bufs
+        wires = prepare_flat_wires_for_recv(
+            splan, se, sh, pu, p0, dq, ra, dn, NROWS)
+        dev_args = (put(rows), put(send_idx), put(valid),
+                    put(wires["p_used"]), put(wires["p_off"]),
+                    put(wires["p0"]), put(wires["dense"]),
+                    put(wires["dq_idx"]), put(wires["se"]),
+                    put(wires["shift"]), put(wires["dq"]),
+                    put(wires["row_a"]))
+        kwargs = dict(mesh=mesh, rows_per_pair=splan.rows_per_pair,
+                      comp_rows=comp_rows, block_size=BLOCK, interpret=True)
+        step = distributed_step_flat
+    else:
+        rse, rshift, rp = reorder_plans_for_recv(splan, se, shift, p_used)
+        dev_args = (put(rows), put(send_idx), put(valid), put(rp),
+                    put(rse.reshape(-1, passes, NROWS // 128, 128)),
+                    put(rshift.reshape(-1, passes, NROWS // 128, 128)))
+        kwargs = dict(mesh=mesh, rows_per_pair=splan.rows_per_pair,
+                      passes=passes, comp_rows=comp_rows, block_size=BLOCK,
+                      interpret=True)
+        step = distributed_step_planned
 
-    out = distributed_step_planned(*dev_args, **kwargs)
+    out = step(*dev_args, **kwargs)
     jax.block_until_ready(out)
 
     # Verify this process's local shards bit-exactly.
@@ -149,7 +211,7 @@ def worker(args) -> int:
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        out = distributed_step_planned(*dev_args, **kwargs)
+        out = step(*dev_args, **kwargs)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     blocks_per_s = nblocks / best
@@ -172,7 +234,8 @@ def launch(args) -> int:
                "--processes", str(args.launch), "--process-id", str(pid),
                "--coordinator", f"localhost:{port}",
                "--devices-per-process", str(args.devices_per_process),
-               "--blocks", str(args.blocks), "--reps", str(args.reps)]
+               "--blocks", str(args.blocks), "--reps", str(args.reps),
+               "--step", args.step]
         env = dict(os.environ)
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
@@ -190,7 +253,8 @@ def launch(args) -> int:
     base_cmd = [sys.executable, "-m", "bitar_tpu.cli.multihost_bench",
                 "--processes", "1", "--process-id", "0",
                 "--devices-per-process", str(args.devices_per_process),
-                "--blocks", str(args.blocks), "--reps", str(args.reps)]
+                "--blocks", str(args.blocks), "--reps", str(args.reps),
+                "--step", args.step]
     bp = subprocess.run(base_cmd, capture_output=True, timeout=args.timeout,
                         cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                             os.path.abspath(__file__)))))
@@ -227,6 +291,9 @@ def main(argv=None) -> int:
     p.add_argument("--devices-per-process", type=int, default=4)
     p.add_argument("--blocks", type=int, default=32)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--step", choices=["flat", "planned"], default="flat",
+                   help="flat = the engine's production decoder (dense "
+                        "per-byte wire); planned = the dense-wire kernel")
     p.add_argument("--timeout", type=int, default=600)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
