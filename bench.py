@@ -87,6 +87,30 @@ def main() -> int:
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
+    # Device watchdog: a wedged tunnel hangs even jax.devices(); probe on
+    # a daemon thread and emit an explicit failure record instead of
+    # hanging the driver forever (observed: 4+ h tunnel outages).
+    import threading
+    probe_ok = threading.Event()
+
+    def _probe():
+        import numpy as _np
+        import jax.numpy as _jnp
+        _np.asarray(_jnp.ones((8, 128)).sum())
+        probe_ok.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_ok.wait(timeout=float(os.environ.get(
+            "BENCH_PROBE_TIMEOUT_S", "600"))):
+        print(json.dumps({
+            "metric": "lz4_decompress_GBps_per_chip_128KiB_blocks",
+            "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+            "error": "device unreachable: trivial readback timed out "
+                     "(wedged tunnel); no measurement possible",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
     import bitar_tpu as bt
     from bitar_tpu.utils.profiling import annotate
 
