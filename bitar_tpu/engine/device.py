@@ -702,7 +702,17 @@ class Engine:
         if self.config.use_tpu_kernels:
             self.ensure_plans(unit)
         if self.config.use_tpu_kernels and unit.plan_flat is not None:
-            status = self._decompress_tpu_planned(unit, out)
+            try:
+                status = self._decompress_tpu_planned(unit, out)
+            except StatusError:
+                raise                       # real per-block errors surface
+            except Exception as e:          # kernel/compile failure: the
+                # host library decodes everything the kernel can (it is
+                # the oracle) — degrade loudly rather than dying, the
+                # software-backend resilience the reference never had.
+                logger.error("planned TPU decode failed (%s: %s); "
+                             "falling back to host decode", type(e).__name__, e)
+                status = self._decompress_host(unit, out)
         elif self.config.use_tpu_kernels and unit.tables is not None:
             status = self._decompress_tpu(unit, out)
         else:

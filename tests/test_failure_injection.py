@@ -161,3 +161,20 @@ def test_container_mutation_fuzz(rng):
                 pass                          # raised cleanly: fine
             finally:
                 eng.recycle(unit)
+
+
+def test_kernel_failure_falls_back_to_host(rng, caplog):
+    # A kernel/compile failure on the planned path must degrade to the
+    # host decoder (the software backend the reference lacked), loudly,
+    # instead of dying — real per-block StatusErrors still surface.
+    from unittest.mock import patch
+
+    data = (b"fallback payload " * 4000)[:12 * BLOCK]
+    config = cfg(block_size=16 * 1024, use_tpu_kernels=True, interpret=True)
+    with bt.Engine(config) as eng:
+        unit = eng.compress(data)
+        with patch.object(eng, "_planned_bursts",
+                          side_effect=RuntimeError("mosaic lowering failed")):
+            out = eng.decompress(unit)
+        assert out.tobytes() == data
+        eng.recycle(unit)
