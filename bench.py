@@ -39,11 +39,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 NORTH_STAR_GBPS = 10.0
 BLOCK = 128 * 1024
-# 256-block launches amortize the fixed per-launch cost (measured ~2-4 ms
-# even for an empty kernel on this setup): 64 -> 256 blocks lifted the
-# same kernel from 0.94 to 1.48 GB/s.  The reference's analog is burst
-# sizing (config.h:146-152).
-NBLOCKS = int(os.environ.get("BENCH_NBLOCKS", "256"))
+# Large launches amortize the fixed per-launch dispatch cost.  Measured
+# on silicon (2026-08-18, scratch/r3_bench_*.log): 256 blocks -> 8.82
+# GB/s, 512 -> 14.94, 1024 -> 19.13, 2048 -> 21.09.  1024 is the
+# operating point: past it the marginal per-block cost (~5 us) is
+# compute-bound, and the corpus size starts to dominate bench wall
+# time.  The reference's analog is burst sizing (config.h:146-152).
+NBLOCKS = int(os.environ.get("BENCH_NBLOCKS", "1024"))
 REPS = int(os.environ.get("BENCH_REPS", "8"))
 
 

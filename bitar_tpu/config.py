@@ -116,7 +116,7 @@ TPU_V5E = DeviceCapabilities(
     codecs=(Codec.LZ4, Codec.SNAPPY, Codec.ZSTD, Codec.RAW),
     min_block_size=1 << 10,
     max_block_size=1 << 20,
-    max_burst_size=1024,
+    max_burst_size=2048,
     max_inflight_bursts=512,
     # v5e carries 128 MiB of VMEM per chip (public spec; see
     # jax-ml.github.io/scaling-book "TPU architecture" table).  Budget 96
