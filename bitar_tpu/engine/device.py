@@ -993,8 +993,17 @@ class Engine:
     def _decompress_tpu(self, unit: CompressedUnit, out: np.ndarray
                         ) -> np.ndarray:
         m = unit.manifest
-        # Same out-of-order completion as the planned path.
-        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        # Same out-of-order completion as the planned path.  Status is
+        # REAL per-block (the reference's per-op status walk,
+        # ``device.cc:512-520``): while the kernel launches are in
+        # flight, the current arena bytes of every block are re-walked
+        # host-side (framing parse + decoded-extent check) — the tables
+        # the kernel executes were parsed at build time, so corruption
+        # landing in a slot *after* table build would otherwise decode
+        # garbage silently on this path.
+        status = np.zeros(m.nblocks, np.int32)
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            vfut = ex.submit(self._validate_table_unit, unit, status)
             pending = {ex.submit(np.asarray, fut): (start, stop)
                        for start, stop, fut in self._decode_bursts(unit)}
             for done in concurrent.futures.as_completed(pending):
@@ -1004,7 +1013,40 @@ class Engine:
                     o, ln = int(m.raw_off[i]), int(m.raw_len[i])
                     out[o:o + ln] = host[i - start, :ln]
                 self.stats.dequeued_blocks += stop - start
-        return np.zeros(m.nblocks, np.int32)
+            vfut.result()
+        return status
+
+    def _validate_table_unit(self, unit: CompressedUnit,
+                             status: np.ndarray) -> None:
+        """Decode-time framing validation for the sequence-table path:
+        re-parse each block's CURRENT compressed bytes and check the
+        decoded extent against the manifest.  Runs in the kernel
+        launches' shadow; a block whose slot bytes no longer walk
+        cleanly is named in ``status``."""
+        m = unit.manifest
+        burst = self.config.burst_size
+        for start in range(0, m.nblocks, burst):
+            stop = min(m.nblocks, start + burst)
+            slots = [r.slot for r in unit.refs[start:stop]]
+            rows = np.asarray(self.arena.gather_burst(slots))
+            for i in range(start, stop):
+                cid = int(m.codec_ids[i])
+                comp = rows[i - start, :int(m.comp_len[i])]
+                codec = codec_from_id(cid)
+                if codec == Codec.RAW:
+                    if int(m.comp_len[i]) != int(m.raw_len[i]):
+                        status[i] = Status.IOError("").to_int()
+                    continue
+                impl = registry.get_impl(codec)
+                try:
+                    t = native.parse_sequences(comp, impl.parse_name)
+                    ends = t["out_pos"] + t["lit_len"] + t["mlen"]
+                    total = int(ends[-1]) if ends.shape[0] else 0
+                except StatusError as e:
+                    status[i] = e.status.to_int()
+                    continue
+                if total != int(m.raw_len[i]):
+                    status[i] = Status.IOError("").to_int()
 
     def _decompress_host(self, unit: CompressedUnit, out: np.ndarray
                          ) -> np.ndarray:

@@ -79,6 +79,39 @@ def test_corrupt_block_tpu_path(rng):
         eng.recycle(unit)
 
 
+def test_corrupt_slot_after_table_build_is_named(rng):
+    # The sequence-TABLE path (plan_flat is None: 2 KiB blocks are not
+    # lane-tiled) executes tables parsed at build time; bytes corrupted
+    # in the arena AFTER that build must still surface as real per-block
+    # status (the decode-time framing walk; reference device.cc:512-520)
+    # — round 2 reported fake zeros here.
+    import jax.numpy as jnp
+
+    data = (b"table path payload %d " % 7) * (8 * BLOCK // 21)
+    data = data[:8 * BLOCK]
+    c = cfg(use_tpu_kernels=True, interpret=True, checksum=bt.Checksum.NONE)
+    with bt.Engine(c) as eng:
+        unit = eng.compress(data)
+        eng.ensure_plans(unit)
+        assert unit.plan_flat is None and unit.tables is not None, \
+            "test needs the table path"
+        assert int(unit.manifest.comp_len[3]) < BLOCK, "block 3 must be LZ4"
+        # corrupt block 3's slot in place (post-table-build)
+        slot = unit.refs[3].slot
+        row = np.asarray(eng.arena.gather_burst([slot]))[0].copy()
+        row[0] ^= 0xFF                 # first token byte: breaks framing
+        eng.arena.write_burst([slot], jnp.asarray(row[None]))
+        out, status = eng.decompress_status(unit)
+        assert status[3] < 0, status.tolist()
+        assert (status[np.arange(8) != 3] == 0).all(), status.tolist()
+        for i in range(8):
+            if i == 3:
+                continue
+            o, ln = int(unit.manifest.raw_off[i]), int(unit.manifest.raw_len[i])
+            assert out[o:o + ln].tobytes() == data[o:o + ln], f"block {i}"
+        eng.recycle(unit)
+
+
 def test_mixed_codec_unit_splits_per_block(rng):
     # LZ4 + zstd blocks in ONE unit: every block rides the device kernel
     # (zstd via its entropy-decoded literal plane) — no host fallback.
