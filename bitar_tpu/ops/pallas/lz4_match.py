@@ -42,7 +42,10 @@ LANES = 128
 DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 48, 64,
                    96, 128, 192, 256, 384, 512, 1024, 2048, 4096, 8192)
 
-MAX_MATCH = 64   # run-length cap (log-doubling depth 6); emitter may extend
+MAX_MATCH = 64   # default run-length cap (log-doubling depth 6); the host
+                 # emitter extends past it.  The device emitter cannot, so
+                 # the device-compress path passes a larger ``max_match``
+                 # (log-doubling depth grows by 1 per doubling).
 
 
 def _shift_back(plane, d: int, nrows: int):
@@ -78,7 +81,8 @@ def _shift_fwd(plane, d: int, nrows: int):
     return a
 
 
-def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows):
+def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows,
+                  max_match=MAX_MATCH):
     # Working set stays int32 math-wise but is carried as narrow planes
     # where possible; the offset loop is unrolled (static roll amounts),
     # so live-buffer count drives VMEM — see CompilerParams in the caller.
@@ -93,9 +97,9 @@ def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows):
         shifted = _shift_back(plane, d, nrows)
         eq = jnp.logical_and(plane == shifted, byte_iota >= d)
         run = eq.astype(jnp.int32)
-        # log-doubling run length, capped at MAX_MATCH
+        # log-doubling run length, capped at max_match
         step = 1
-        while step < MAX_MATCH:
+        while step < max_match:
             nxt = _shift_fwd(run, step, nrows)
             run = jnp.where(run == step, run + nxt, run)
             step *= 2
@@ -103,22 +107,25 @@ def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows):
         best_len = jnp.where(better, run, best_len)
         best_idx = jnp.where(better, di, best_idx)
 
-    len_ref[0, :, :] = jnp.minimum(best_len, MAX_MATCH)
+    len_ref[0, :, :] = jnp.minimum(best_len, max_match)
     off_ref[0, :, :] = best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "nrows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("offsets", "nrows", "interpret",
+                                              "max_match"))
 def find_matches(comp, *, offsets: tuple[int, ...] = DEFAULT_OFFSETS,
-                 nrows: int, interpret: bool = False):
+                 nrows: int, interpret: bool = False,
+                 max_match: int = MAX_MATCH):
     """Score candidate-offset matches for a batch of blocks.
 
     Args:
       comp: [N, nrows, 128] uint8 raw byte planes
-    Returns (match_len [N, nrows, 128] int32 capped at MAX_MATCH,
+    Returns (match_len [N, nrows, 128] int32 capped at ``max_match``,
              offset_index [N, nrows, 128] int32 into ``offsets``).
     """
     n = comp.shape[0]
-    kernel = functools.partial(_match_kernel, offsets=offsets, nrows=nrows)
+    kernel = functools.partial(_match_kernel, offsets=offsets, nrows=nrows,
+                               max_match=max_match)
     kwargs = {}
     if not interpret:
         # The unrolled offset loop keeps many live planes; allow the

@@ -1,0 +1,121 @@
+"""Device-side LZ4 compression (ops/device_compress.py).
+
+Every emitted stream must be standard LZ4 decodable by the host codec
+(the oracle, as for the decode kernels) and byte-exact on round-trip —
+including tail blocks, tiny blocks, segment-boundary straddles, and
+hostile random data.  Reference analog: the demo app's memcmp oracle
+(``demo_app.cc:534-543``) applied to the compress direction.
+"""
+
+import numpy as np
+import pytest
+
+from bitar_tpu.ops.cpu import native
+from bitar_tpu.ops.device_compress import compress_blocks_device, lz4_bound
+
+
+def roundtrip(planes: np.ndarray, lengths, **kw):
+    kw.setdefault("interpret", True)
+    out, sizes = compress_blocks_device(
+        planes, np.asarray(lengths, np.int32), **kw)
+    out, sizes = np.asarray(out), np.asarray(sizes)
+    for i, ln in enumerate(lengths):
+        assert sizes[i] <= lz4_bound(int(ln)), f"block {i} oversize"
+        dec = np.asarray(native.lz4_decompress(out[i, :sizes[i]], int(ln)))
+        assert dec.tobytes() == planes[i, :ln].tobytes(), f"block {i}"
+    return sizes
+
+
+def _plane(data: bytes, width: int) -> np.ndarray:
+    p = np.zeros(width, np.uint8)
+    p[:len(data)] = np.frombuffer(data, np.uint8)
+    return p
+
+
+def test_classes_roundtrip(rng):
+    L = 4096
+    blocks = [
+        (b"The quick brown fox jumps over the lazy dog 42. "
+         * (L // 48 + 1))[:L],
+        bytes([5]) * L,
+        rng.integers(0, 256, L, np.uint8).tobytes(),
+        rng.integers(0, 4, L, np.uint8).tobytes(),
+        (b"abcdefgh" * (L // 8))[:L],
+    ]
+    planes = np.stack([_plane(b, L) for b in blocks])
+    sizes = roundtrip(planes, [L] * len(blocks), seg=256, min_match=6)
+    assert sizes[0] < L // 8, "periodic text must compress"
+    assert sizes[1] < L // 16, "RLE must compress"
+
+
+def test_tail_and_tiny_blocks(rng):
+    L = 1024
+    datas = [b"hello world " * 30, b"tiny", b"", b"1234567890123",
+             b"a" * 13, b"ab" * 40]
+    datas = [d[:L] for d in datas if len(d) <= L]
+    planes = np.stack([_plane(d, L) for d in datas])
+    roundtrip(planes, [len(d) for d in datas], seg=128, min_match=6)
+
+
+def test_segment_boundary_matches(rng):
+    # Runs and periods placed to straddle segment boundaries: matches
+    # must truncate cleanly and literals must merge across segments.
+    L, seg = 2048, 256
+    b = bytearray(rng.integers(0, 256, L, np.uint8).tobytes())
+    b[seg - 40: seg + 40] = b"Z" * 80                 # run across boundary
+    b[2 * seg - 7: 2 * seg + 7] = b"ABCDEFGHIJKLMN"   # literals at boundary
+    b[3 * seg: 3 * seg + 64] = bytes(b[0:64])         # long-distance match
+    planes = _plane(bytes(b), L)[None]
+    roundtrip(planes, [L], seg=seg, min_match=6)
+
+
+@pytest.mark.parametrize("min_match", [4, 6, 8])
+def test_min_match_knob(rng, min_match):
+    L = 1024
+    data = (b"abcdef" * 200)[:L]
+    planes = _plane(data, L)[None]
+    roundtrip(planes, [L], seg=128, min_match=min_match)
+
+
+def test_fuzz_mixtures(rng):
+    # Randomized block mixtures: random spans, runs, copies, text.
+    L = 2048
+    n = 16
+    planes = np.zeros((n, L), np.uint8)
+    lengths = []
+    for i in range(n):
+        buf = bytearray()
+        while len(buf) < L:
+            k = int(rng.integers(0, 4))
+            ln = int(rng.integers(1, 300))
+            if k == 0:
+                buf += bytes(rng.integers(0, 256, ln, np.uint8))
+            elif k == 1:
+                buf += bytes([int(rng.integers(0, 256))]) * ln
+            elif k == 2 and buf:
+                start = int(rng.integers(0, len(buf)))
+                buf += bytes(buf[start:start + ln])
+            else:
+                buf += (b"lorem ipsum %d " % i) * (ln // 14 + 1)
+        ln = int(rng.integers(1, L + 1))
+        planes[i, :ln] = np.frombuffer(bytes(buf[:L]), np.uint8)[:ln]
+        lengths.append(ln)
+    roundtrip(planes, lengths, seg=256, min_match=6)
+
+
+def test_sizes_match_stream(rng):
+    # The closed-form sizes must equal the true stream extent: decode
+    # with a one-byte-short size must fail or mismatch.
+    L = 1024
+    data = (b"xyzzy " * 400)[:L]
+    planes = _plane(data, L)[None]
+    out, sizes = compress_blocks_device(
+        planes, np.array([L], np.int32), seg=128, min_match=6,
+        interpret=True)
+    out, sz = np.asarray(out), int(np.asarray(sizes)[0])
+    assert (out[0, sz:] == 0).all(), "bytes past total must be zero"
+    try:
+        dec = np.asarray(native.lz4_decompress(out[0, :sz - 1], L))
+        assert dec.tobytes() != data, "short stream decoded identically"
+    except Exception:
+        pass
