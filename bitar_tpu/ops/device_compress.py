@@ -101,9 +101,12 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     cand = jnp.where(valid, i[None, :], L)
     nmp = lax.associative_scan(jnp.minimum, cand, reverse=True, axis=1)
     nmp = jnp.concatenate([nmp, jnp.full((n, 1), L, jnp.int32)], axis=1)
-    mlen_p = jnp.concatenate([mlen_t, jnp.zeros((n, 1), jnp.int32)], axis=1)
-    moff_p = jnp.concatenate(
-        [moff.astype(jnp.int32), jnp.zeros((n, 1), jnp.int32)], axis=1)
+    # One packed side-plane so each scan step pays TWO gathers (XLA TPU
+    # gathers carry a large fixed cost; measured 0.2 ms each even at
+    # [N, nseg]): mlen_t fits 11 bits (match cap <= seg <= 1024), moff
+    # 16 bits above it.
+    pk = mlen_t | (moff.astype(jnp.int32) << 11)
+    pk_p = jnp.concatenate([pk, jnp.zeros((n, 1), jnp.int32)], axis=1)
 
     seg_ends = (jnp.arange(nseg, dtype=jnp.int32) + 1) * seg      # [G]
     nstep = seg // min_match + 1
@@ -112,8 +115,9 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
         j = jnp.take_along_axis(nmp, jnp.minimum(pos, L), axis=1)
         active = j < seg_ends[None, :]
         jc = jnp.minimum(j, L)
-        mm = jnp.take_along_axis(mlen_p, jc, axis=1)
-        oo = jnp.take_along_axis(moff_p, jc, axis=1)
+        pkj = jnp.take_along_axis(pk_p, jc, axis=1)
+        mm = pkj & 0x7FF
+        oo = pkj >> 11
         rec = (jnp.where(active, j, -1),
                jnp.where(active, mm, 0),
                jnp.where(active, oo, 0))
@@ -163,26 +167,70 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def materialize(planes, layout, *, out_width: int):
-    """Emit the LZ4 byte stream described by ``layout`` (gather-pull).
+    """Emit the LZ4 byte stream described by ``layout``.
+
+    TPU-shaped: XLA lowers arbitrary cross-lane gathers at a measured
+    ~11 ns/element on v5e, so the per-byte sequence lookup is NOT a
+    binary search (15 gather rounds = seconds per launch).  Instead the
+    per-slot fields scatter once at each sequence's output start (one
+    small scatter of ~nseq elements) and a single tuple carry-scan
+    ("last set slot wins", associative) propagates them to every output
+    byte — scans are log-depth elementwise passes, no gathers.  Header
+    bytes (token, length extensions, offset) then compute arithmetically
+    per byte; only the literal payload needs a data gather from the raw
+    plane.
 
     planes: [N, L] uint8 raw bytes.  Returns [N, out_width] uint8; bytes
     past ``layout['total'][b]`` are zero."""
     n, L = planes.shape
-    starts = layout["starts"]
-    t = jnp.broadcast_to(
-        jnp.arange(out_width, dtype=jnp.int32)[None, :], (n, out_width))
-    k = jax.vmap(
-        lambda s, tt: jnp.searchsorted(s, tt, side="right"))(starts, t) - 1
-    k = jnp.clip(k, 0, starts.shape[1] - 1)
+    starts = layout["starts"]          # [N, M+1] slot output starts
+    nslots = starts.shape[1]
+    OW = out_width
 
-    def at(f):
-        return jnp.take_along_axis(layout[f], k, axis=1)
+    # Scatter per-slot fields at their output start byte.  Empty slots
+    # (size 0) share a start with the next real slot; dropping them
+    # leaves exactly one writer per cell.  ``sizes`` of slot k =
+    # starts[k+1] - starts[k] for k < M; the final slot (index M) is
+    # always real.
+    sizes = jnp.diff(starts, axis=1)
+    real = jnp.concatenate(
+        [sizes > 0, jnp.ones((n, 1), bool)], axis=1)      # [N, M+1]
+    idx = jnp.where(real & (starts < OW), starts, OW)     # OW = dropped
+    bidx = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
 
-    d = t - jnp.take_along_axis(starts, k, axis=1)
-    ll = at("lit_len")
-    ls = at("lit_start")
-    mv = at("mv")
-    off = at("off")
+    def wire(field, fill=0):
+        w = jnp.full((n, OW + 1), fill, jnp.int32)
+        w = w.at[bidx, idx].set(field, mode="drop")
+        return w[:, :OW]
+
+    # Propagation is six native cummax scans, not a generic carry-scan:
+    # output starts strictly increase across real slots, so any field
+    # packed under a ``(start+1) << k | field`` key propagates with MAX
+    # ("later slot wins"), and two fields — lit_start and the literal
+    # run's end (the match position; ``lengths`` for the final slot) —
+    # are themselves monotone across slots and scan bare.  lit_len
+    # derives as (run_end - lit_start), so no 18-bit field ever needs
+    # packing next to the 18-bit start.
+    mv1 = jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0)   # 11 bits
+    off = layout["off"]
+    s1 = starts + 1
+    # Slot INDEX (15 bits at any practical M) keys the off scan so the
+    # full 16-bit offset rides one word; mv packs under s1 (<= 2^18).
+    if nslots >= (1 << 15):
+        raise ValueError(f"too many sequence slots ({nslots}) to pack")
+    k1 = jnp.broadcast_to(
+        jnp.arange(1, nslots + 1, dtype=jnp.int32)[None, :], starts.shape)
+    w_start = lax.cummax(wire(s1), axis=1)
+    w_ls = lax.cummax(wire(layout["lit_start"]), axis=1)
+    w_le = lax.cummax(wire(layout["lit_start"] + layout["lit_len"]), axis=1)
+    w_off = lax.cummax(wire((k1 << 16) | off), axis=1)
+    w_mv = lax.cummax(wire((s1 << 11) | mv1), axis=1)
+
+    t = jnp.broadcast_to(jnp.arange(OW, dtype=jnp.int32)[None, :], (n, OW))
+    d = t - (w_start - 1)
+    ll = w_le - w_ls
+    off = w_off & 0xFFFF
+    mv = (w_mv & 0x7FF) - 1
 
     n_lit_ext = _ext_bytes(ll)
     hdr = 1 + n_lit_ext
@@ -191,7 +239,7 @@ def materialize(planes, layout, *, out_width: int):
     token = (jnp.minimum(ll, 15) << 4) | jnp.where(
         mv >= 0, jnp.minimum(mv, 15), 0)
     lit_ext = jnp.clip(ll - 15 - 255 * (d - 1), 0, 255)
-    lit_idx = jnp.clip(ls + (d - hdr), 0, L - 1)
+    lit_idx = jnp.clip(w_ls + (d - hdr), 0, L - 1)
     lit_byte = jnp.take_along_axis(planes, lit_idx, axis=1).astype(jnp.int32)
     off_byte = jnp.where(d == lit_end, off & 0xFF, (off >> 8) & 0xFF)
     m_ext = jnp.clip(mv - 15 - 255 * (d - lit_end - 2), 0, 255)
@@ -231,11 +279,10 @@ def compress_blocks_device(planes, lengths, *, seg: int = 512,
         raise ValueError("plane width must be lane-aligned")
     nrows = L // 128
     mm = max_match if max_match is not None else min(seg, 512)
-    mlen, oidx = find_matches(
+    mlen, moff = find_matches(
         planes.reshape(n, nrows, 128), offsets=offsets, nrows=nrows,
-        interpret=interpret, max_match=mm)
-    off_map = jnp.asarray(np.asarray(offsets, np.int32))
-    moff = off_map[oidx.reshape(n, L)]
+        interpret=interpret, max_match=mm, emit_values=True)
+    moff = moff.reshape(n, L)
     layout = parse_and_size(
         mlen.reshape(n, L), moff, jnp.asarray(lengths, jnp.int32),
         seg=seg, min_match=min_match, length=L)

@@ -82,7 +82,7 @@ def _shift_fwd(plane, d: int, nrows: int):
 
 
 def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows,
-                  max_match=MAX_MATCH):
+                  max_match=MAX_MATCH, emit_values=False):
     # Working set stays int32 math-wise but is carried as narrow planes
     # where possible; the offset loop is unrolled (static roll amounts),
     # so live-buffer count drives VMEM — see CompilerParams in the caller.
@@ -105,27 +105,31 @@ def _match_kernel(comp_ref, len_ref, off_ref, *, offsets, nrows,
             step *= 2
         better = run > best_len
         best_len = jnp.where(better, run, best_len)
-        best_idx = jnp.where(better, di, best_idx)
+        best_idx = jnp.where(better, d if emit_values else di, best_idx)
 
     len_ref[0, :, :] = jnp.minimum(best_len, max_match)
     off_ref[0, :, :] = best_idx
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "nrows", "interpret",
-                                              "max_match"))
+                                              "max_match", "emit_values"))
 def find_matches(comp, *, offsets: tuple[int, ...] = DEFAULT_OFFSETS,
                  nrows: int, interpret: bool = False,
-                 max_match: int = MAX_MATCH):
+                 max_match: int = MAX_MATCH, emit_values: bool = False):
     """Score candidate-offset matches for a batch of blocks.
 
     Args:
       comp: [N, nrows, 128] uint8 raw byte planes
+      emit_values: when True the second output carries the offset VALUE
+        (the distance itself) instead of the index into ``offsets`` —
+        the device-emission path wants values and a table lookup on the
+        far side of the kernel is a (measured) 70 ms XLA gather.
     Returns (match_len [N, nrows, 128] int32 capped at ``max_match``,
-             offset_index [N, nrows, 128] int32 into ``offsets``).
+             offset index or value [N, nrows, 128] int32).
     """
     n = comp.shape[0]
     kernel = functools.partial(_match_kernel, offsets=offsets, nrows=nrows,
-                               max_match=max_match)
+                               max_match=max_match, emit_values=emit_values)
     kwargs = {}
     if not interpret:
         # The unrolled offset loop keeps many live planes; allow the
