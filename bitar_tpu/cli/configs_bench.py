@@ -33,7 +33,11 @@ def _engine_knobs() -> dict:
     tests, not benchmarks)."""
     import jax
     cpu = jax.default_backend() == "cpu"
-    return dict(burst_size=64 if cpu else 256, use_tpu_kernels=not cpu)
+    # commit="deferred" is the reference contract: Compress ends when
+    # output reaches pool memory (device.cc:157-238); the arena upload
+    # is decode-side DMA and lands in the decode prep.
+    return dict(burst_size=64 if cpu else 256, use_tpu_kernels=not cpu,
+                commit="deferred")
 
 
 def _mixed_buffer(nbytes: int, seed: int = 11) -> bytes:

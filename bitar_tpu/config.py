@@ -188,11 +188,26 @@ class EngineConfig:
     interpret: bool = False             # run Pallas kernels in interpreter mode
     compress_matcher: str = "host"      # "host" (hash matcher, quality),
                                         # "tpu" (Pallas candidate-offset
-                                        # matcher), or "tpu-sort"
+                                        # matcher), "tpu-sort"
                                         # (device value-sort, exact greedy
-                                        # at any offset); tpu* need
-                                        # LZ4/Snappy + 16KiB-aligned blocks
+                                        # at any offset), or "device"
+                                        # (FULL offload: match + parse +
+                                        # emission on device, compressed
+                                        # bytes land in arena slots
+                                        # device-side); tpu*/device need
+                                        # LZ4 (+Snappy for tpu*) and
+                                        # 16KiB-aligned blocks
     match_offsets: tuple[int, ...] = () # () -> kernel default candidate set
+    commit: str = "eager"               # when compressed bytes reach the
+                                        # device arena: "eager" (during
+                                        # compress, pipelined with the
+                                        # matcher) or "deferred" (at first
+                                        # device decode / explicit commit).
+                                        # Deferred is the reference
+                                        # contract — Compress ends when
+                                        # output sits in POOL memory
+                                        # (device.cc:157-238); the DPU
+                                        # DMAs host memzones on demand.
 
     # ------------------------------------------------------------------
     @property
@@ -247,16 +262,23 @@ class EngineConfig:
             return Status.Invalid(f"level {self.level} outside [0, 22]")
         if not (4 <= self.min_match <= 512):
             return Status.Invalid(f"min_match {self.min_match} outside [4, 512]")
-        if self.compress_matcher not in ("host", "tpu", "tpu-sort"):
+        if self.compress_matcher not in ("host", "tpu", "tpu-sort", "device"):
             return Status.Invalid(
                 f"compress_matcher {self.compress_matcher!r} not in "
-                f"(host, tpu, tpu-sort)")
-        if self.compress_matcher in ("tpu", "tpu-sort"):
-            if self.codec not in (Codec.LZ4, Codec.SNAPPY):
+                f"(host, tpu, tpu-sort, device)")
+        if self.compress_matcher in ("tpu", "tpu-sort", "device"):
+            if self.compress_matcher == "device":
+                if self.codec != Codec.LZ4:
+                    return Status.Invalid(
+                        "device matcher (full offload) supports LZ4")
+            elif self.codec not in (Codec.LZ4, Codec.SNAPPY):
                 return Status.Invalid("tpu matcher supports LZ4 and Snappy")
             if self.block_size % (128 * 128) != 0:
                 return Status.Invalid(
                     "tpu matcher needs block_size % 16384 == 0 (lane-tiled rows)")
+        if self.commit not in ("eager", "deferred"):
+            return Status.Invalid(
+                f"commit {self.commit!r} not in (eager, deferred)")
         return Status.OK()
 
     def replace(self, **kw) -> "EngineConfig":

@@ -125,6 +125,10 @@ class CompressedUnit:
     #: True once ensure_plans ran (a planning *attempt* is one-shot even
     #: when it fails and the unit falls back to tables/host decode).
     _planned: bool = field(default=False, repr=False)
+    #: False while compressed bytes live only in host staging (deferred
+    #: commit); Engine._ensure_committed uploads them before any arena
+    #: read.
+    _committed: bool = field(default=True, repr=False)
 
     def plan_device_arrays(self):
         """The unit's flat plan (se, shift, dq, row_a) as device arrays,
@@ -142,9 +146,11 @@ class CompressedUnit:
         return self.manifest.nblocks
 
     def to_host(self) -> CompressedBuffers:
-        """Materialize the packed compressed bytes on host."""
+        """Materialize the packed compressed bytes on host (from the
+        staging copy when present — a deferred-commit unit's bytes may
+        not have reached the arena yet)."""
         self._check_live()
-        rows = np.asarray(self.engine.arena.gather_burst([r.slot for r in self.refs]))
+        rows = self.engine._staging_rows(self)
         packed = np.concatenate([
             rows[i, :int(self.manifest.comp_len[i])] for i in range(self.nblocks)])
         return CompressedBuffers(manifest=self.manifest, packed=packed)
@@ -254,6 +260,23 @@ class Engine:
         n = manifest.nblocks
         slot = cfg.slot_size
 
+        if cfg.compress_matcher == "device" and cfg.codec == Codec.LZ4:
+            # Full offload: match + parse + emission on device; the
+            # compressed bytes land in arena slots device-side and only
+            # the size vector crosses back.
+            refs, dl, cids = self._compress_device_full(raw, manifest)
+            manifest.comp_len = dl
+            manifest.codec_ids = cids
+            if cfg.checksum != Checksum.NONE:
+                for i in range(n):
+                    o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
+                    manifest.checksums[i] = checksum_of(
+                        cfg.checksum, raw[o:o + ln])
+            self.stats.enqueued_blocks += n
+            self.stats.dequeued_blocks += n
+            self.stats.bytes_compressed += int(manifest.total_raw)
+            return CompressedUnit(manifest=manifest, refs=refs, engine=self)
+
         # Staging comes from the pooled host allocator (the reference's
         # Rtememzone ingest pool, memory_pool.cc:321-350): page-aligned
         # buffers reused across bursts, no per-call zero fill (every
@@ -300,6 +323,8 @@ class Engine:
                 [int(x) for x in dst_len[s:e]],
                 [int(c) for c in codec_ids[s:e]])
             refs.extend(chunk_refs)
+            if cfg.commit == "deferred":
+                return       # bytes stay in pool staging until first use
             w = int(dst_len[s:e].max(initial=1))
             w = min(cfg.slot_size, -(-w // wstep) * wstep)
             self.arena.write_burst(
@@ -345,7 +370,8 @@ class Engine:
         # container, and the reference's compress likewise ends when
         # output sits in pool memory (device.cc:157-238).
         return CompressedUnit(manifest=manifest, refs=refs, engine=self,
-                              _staging=staging, _staging_buf=staging_buf)
+                              _staging=staging, _staging_buf=staging_buf,
+                              _committed=(cfg.commit == "eager"))
 
     # ------------------------------------------------------------------
     def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
@@ -397,6 +423,77 @@ class Engine:
         cap = max(128, next_power_of_two(cap))
         tables, nseq = layout.pad_tables(per_block, _TABLE_KEYS, multiple=cap)
         return tables, nseq
+
+    # Parse segment for the full-offload path: also the on-device match
+    # cap.  512 keeps RLE ratios useful (512/~7B per sequence) while the
+    # parse scan stays at seg/min_match steps.
+    _DEVICE_SEG = 512
+
+    def _compress_device_full(self, raw: np.ndarray, manifest: BlockManifest):
+        """Fully offloaded compression: match + parse + emission execute
+        on device (``ops/device_compress.py``) and the compressed bytes
+        are written into arena slots DEVICE-side — only the per-block
+        size vector crosses back to the host.  The reference's
+        'compression is offloaded, full stop' contract
+        (``device.cc:157-238``) on a TPU: its compressed output likewise
+        lands directly in pool memzones.
+
+        Blocks the device stream can't shrink below raw_len (or that
+        exceed the emission width) store RAW from the same device-
+        resident planes — the incompressible escape (``config.cc:60-73``)
+        without a host round-trip."""
+        from ..ops.device_compress import compress_blocks_device
+        from ..ops.pallas.lz4_match import DEFAULT_OFFSETS
+
+        cfg = self.config
+        n, L = manifest.nblocks, cfg.block_size
+        planes = np.zeros((n, L), np.uint8)
+        for i in range(n):
+            o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
+            planes[i, :ln] = raw[o:o + ln]
+        dplanes = jnp.asarray(planes)                   # ingest
+        out, sizes = compress_blocks_device(
+            dplanes, manifest.raw_len.astype(np.int32),
+            seg=min(self._DEVICE_SEG, L), min_match=cfg.min_match,
+            offsets=tuple(cfg.match_offsets) or DEFAULT_OFFSETS,
+            out_width=L, interpret=cfg.interpret)
+        szs = np.asarray(sizes)                         # tiny readback
+        fallback = szs >= manifest.raw_len
+        dst_len = np.where(fallback, manifest.raw_len, szs).astype(np.int32)
+        cids = np.where(fallback, _RAW_ID,
+                        codec_id(cfg.codec)).astype(np.int32)
+        refs = self.arena.take_refs([int(x) for x in dst_len],
+                                    [int(c) for c in cids])
+        try:
+            rows = _select_comp_rows(out, dplanes, jnp.asarray(fallback))
+            for s in range(0, n, cfg.burst_size):
+                e = min(n, s + cfg.burst_size)
+                self.arena.write_burst([r.slot for r in refs[s:e]],
+                                       rows[s:e])
+        except Exception:
+            self.arena.recycle(refs)
+            raise
+        return refs, dst_len, cids
+
+    def _ensure_committed(self, unit: CompressedUnit) -> None:
+        """Upload a deferred-commit unit's compressed bytes to the arena
+        before any device read (the decode-side DMA the reference's
+        device performs on host memzones)."""
+        if unit._committed:
+            return
+        if unit._staging is None:
+            raise StatusError(Status.Invalid(
+                "uncommitted unit has no staging bytes"))
+        m, cfg = unit.manifest, self.config
+        wstep = max(128, cfg.slot_size // 8)
+        for s in range(0, m.nblocks, cfg.burst_size):
+            e = min(m.nblocks, s + cfg.burst_size)
+            w = int(m.comp_len[s:e].max(initial=1))
+            w = min(cfg.slot_size, -(-w // wstep) * wstep)
+            self.arena.write_burst(
+                [r.slot for r in unit.refs[s:e]],
+                jnp.asarray(np.ascontiguousarray(unit._staging[s:e, :w])))
+        unit._committed = True
 
     # ------------------------------------------------------------------
     def _compress_tpu_match(self, raw: np.ndarray, manifest: BlockManifest,
@@ -773,6 +870,7 @@ class Engine:
         already in flight (jax async)."""
         m = unit.manifest
         cfg = self.config
+        self._ensure_committed(unit)
         burst = cfg.burst_size
         seq_cap = unit.tables["lit_ptr"].shape[1]
         comp_rows = cfg.slot_size // 128
@@ -815,6 +913,7 @@ class Engine:
         HBM-resident across launches; per-burst wire is just the biased
         comp planes plus three small scalar vectors."""
         cfg = self.config
+        self._ensure_committed(unit)
         burst = cfg.burst_size
         nrows = cfg.block_size // 128
         comp_rows = unit.plan_comp_rows
@@ -1114,6 +1213,9 @@ class Engine:
         if unit._planned:
             return
         staging = self._staging_rows(unit)
+        # Deferred-commit units upload here, before the staging copy is
+        # dropped: plan building precedes every device decode.
+        self._ensure_committed(unit)
         plans = self._build_plans(unit.manifest, staging)
         if plans is not None:
             unit.plan_flat, unit.plan_comp_rows = plans
@@ -1156,6 +1258,15 @@ def _expand_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
     n = rows_u8.shape[0]
     planes = rows_u8.astype(jnp.int32).reshape(n, comp_rows, 128)
     return jnp.pad(planes, ((0, 0), (0, layout.GUARD_ROWS), (0, 0)))
+
+
+@jax.jit
+def _select_comp_rows(out: jax.Array, planes: jax.Array,
+                      fallback: jax.Array) -> jax.Array:
+    """Per-block slot rows for the full-offload compress path: emitted
+    LZ4 bytes, or the raw plane for incompressible blocks (device-side
+    RAW escape)."""
+    return jnp.where(fallback[:, None], planes, out)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))

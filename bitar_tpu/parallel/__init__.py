@@ -1,13 +1,14 @@
 """Multi-chip / multi-host parallel execution layer."""
 
 from . import multihost
-from .ring import distributed_step_ring
+from .ring import distributed_step_ring, distributed_step_ring_flat
 from .pipeline import (
     distributed_step,
     distributed_step_flat,
     distributed_step_planned,
     prepare_distributed_step,
     prepare_flat_wires_for_recv,
+    prepare_ring_flat_wires_for_recv,
     reorder_plans_for_recv,
     reorder_tables_for_recv,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "distributed_step_flat",
     "distributed_step_planned",
     "distributed_step_ring",
+    "distributed_step_ring_flat",
     "execute_shuffle",
     "reorder_plans_for_recv",
     "hash_partition",
@@ -37,6 +39,7 @@ __all__ = [
     "plan_shuffle",
     "prepare_distributed_step",
     "prepare_flat_wires_for_recv",
+    "prepare_ring_flat_wires_for_recv",
     "prepare_sharded_batch",
     "reorder_tables_for_recv",
     "shard_blocks",

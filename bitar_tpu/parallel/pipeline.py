@@ -187,32 +187,28 @@ def prepare_distributed_step(mesh: Mesh, plan: ShufflePlan,
     return args, kwargs
 
 
-def prepare_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
-                                sh: np.ndarray, p_used: np.ndarray,
-                                p0: np.ndarray, dq: np.ndarray,
-                                row_a: np.ndarray, dense: np.ndarray,
-                                nrows: int) -> dict[str, np.ndarray]:
-    """Arrange per-block flat-plan buffers into PER-DESTINATION stacked
-    wires for ``distributed_step_flat``.
+def _group_flat_wires(groups: list[np.ndarray], se: np.ndarray,
+                      sh: np.ndarray, p_used: np.ndarray, p0: np.ndarray,
+                      dq: np.ndarray, row_a: np.ndarray, dense: np.ndarray,
+                      nrows: int) -> dict[str, np.ndarray]:
+    """Build one stacked flat wire per block GROUP (a [k] int array of
+    global block ids, -1 = idle row), padded to common static sizes so
+    the stacked shapes agree.  Shared by the per-destination
+    (all_to_all) and per-(destination, source)-chunk (ring) preps."""
+    from ..ops.pallas.lz4_decode_flat import (
+        DCHUNK,
+        LANES,
+        _S_QUANTUM,
+        pack_row_a_planes,
+    )
 
-    Inputs are ``bt_plan_batch``'s per-block buffers: se/sh
-    [n, max_passes, nrows], dq [n, nrows, 128] int16, row_a
-    [n, DENSE_PLANES, nrows] int32, dense [n] (0..63, or -1 identity).
-    Output arrays all have a leading [D] destination axis (sharded on
-    the blocks axis by the step); per-destination flat wires are padded
-    to common static sizes so the stacked shapes agree.
-    """
-    from ..ops.pallas.lz4_decode_flat import DCHUNK, LANES, _S_QUANTUM
-
-    d, rpp = plan.num_devices, plan.rows_per_pair
-    nwire = d * rpp
     tiles = nrows // LANES
     dmax = max(1, int(dense.max(initial=0)))
     dcap = 1 << (dmax - 1).bit_length()
 
     per = []
-    for dst in range(d):
-        blocks = plan.recv_block[dst].reshape(-1)        # [d*rpp], -1 idle
+    for blocks in groups:
+        nwire = blocks.shape[0]
         sel = np.maximum(blocks, 0)
         live = blocks >= 0
         pu = np.where(live, p_used[sel], 0).astype(np.int32)
@@ -235,6 +231,7 @@ def prepare_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
         dq_idx = np.maximum(np.cumsum(dnd > 0) - 1, 0).astype(np.int32)
         per.append((pu, p_off, p0d, dnd, dq_idx, se_w, sh_w, dq_w, ra_w))
 
+    g = len(groups)
     s_max = max(p[5].shape[0] for p in per)
     s_pad = -(-(s_max + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
     nd_max = max(1, max(p[7].shape[0] for p in per))
@@ -244,19 +241,55 @@ def prepare_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
         "p0": np.stack([p[2] for p in per]),
         "dense": np.stack([p[3] for p in per]),
         "dq_idx": np.stack([p[4] for p in per]),
-        "se": np.zeros((d, s_pad, tiles, LANES), np.int16),
-        "shift": np.zeros((d, s_pad, tiles, LANES), np.int32),
-        "dq": np.zeros((d, nd_max, nrows, 128), np.int16),
-        "row_a": np.zeros((d, nd_max, dcap, LANES, tiles), np.int32),
+        "se": np.zeros((g, s_pad, tiles, LANES), np.int16),
+        "shift": np.zeros((g, s_pad, tiles, LANES), np.int32),
+        "dq": np.zeros((g, nd_max, nrows, 128), np.int16),
+        "row_a": np.zeros((g, nd_max, dcap, LANES, tiles), np.int32),
     }
-    from ..ops.pallas.lz4_decode_flat import pack_row_a_planes
-    for dst, p in enumerate(per):
-        out["se"][dst, :p[5].shape[0]] = p[5]
-        out["shift"][dst, :p[6].shape[0]] = p[6]
-        out["dq"][dst, :p[7].shape[0]] = p[7]
+    for gi, p in enumerate(per):
+        out["se"][gi, :p[5].shape[0]] = p[5]
+        out["shift"][gi, :p[6].shape[0]] = p[6]
+        out["dq"][gi, :p[7].shape[0]] = p[7]
         if p[8].shape[0]:
-            out["row_a"][dst, :p[8].shape[0]] = pack_row_a_planes(p[8], dcap)
+            out["row_a"][gi, :p[8].shape[0]] = pack_row_a_planes(p[8], dcap)
     return out
+
+
+def prepare_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
+                                sh: np.ndarray, p_used: np.ndarray,
+                                p0: np.ndarray, dq: np.ndarray,
+                                row_a: np.ndarray, dense: np.ndarray,
+                                nrows: int) -> dict[str, np.ndarray]:
+    """Arrange per-block flat-plan buffers into PER-DESTINATION stacked
+    wires for ``distributed_step_flat``.
+
+    Inputs are ``bt_plan_batch``'s per-block buffers: se/sh
+    [n, max_passes, nrows], dq [n, nrows, 128] int16, row_a
+    [n, DENSE_PLANES, nrows] int32, dense [n] (0..63, or -1 identity).
+    Output arrays all have a leading [D] destination axis (sharded on
+    the blocks axis by the step)."""
+    groups = [plan.recv_block[dst].reshape(-1)
+              for dst in range(plan.num_devices)]
+    return _group_flat_wires(groups, se, sh, p_used, p0, dq, row_a, dense,
+                             nrows)
+
+
+def prepare_ring_flat_wires_for_recv(plan: ShufflePlan, se: np.ndarray,
+                                     sh: np.ndarray, p_used: np.ndarray,
+                                     p0: np.ndarray, dq: np.ndarray,
+                                     row_a: np.ndarray, dense: np.ndarray,
+                                     nrows: int) -> dict[str, np.ndarray]:
+    """Per-(destination, source)-CHUNK stacked wires for
+    ``distributed_step_ring_flat``: the ring variant decodes one source's
+    chunk per ppermute round, so each chunk needs a self-contained flat
+    wire.  Leading axes are [D_dst, D_src]; chunk wires share static
+    padded sizes (one kernel compile serves every round)."""
+    d = plan.num_devices
+    groups = [plan.recv_block[dst, src].reshape(-1)
+              for dst in range(d) for src in range(d)]
+    w = _group_flat_wires(groups, se, sh, p_used, p0, dq, row_a, dense,
+                          nrows)
+    return {k: v.reshape((d, d) + v.shape[1:]) for k, v in w.items()}
 
 
 @functools.partial(

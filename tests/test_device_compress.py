@@ -103,6 +103,64 @@ def test_fuzz_mixtures(rng):
     roundtrip(planes, lengths, seg=256, min_match=6)
 
 
+def test_engine_device_matcher_roundtrip(rng):
+    # compress_matcher="device": full offload through the Engine —
+    # compressed bytes land in arena slots device-side; decode must be
+    # bit-exact, incompressible blocks store RAW.
+    import bitar_tpu as bt
+
+    bs = 16384
+    data = (
+        (b"engine device matcher %d " % 9) * (bs // 24 + 1))[:bs] \
+        + bytes([3]) * bs \
+        + rng.integers(0, 256, bs, np.uint8).tobytes() \
+        + (b"tail block " * 64)
+    cfg = bt.EngineConfig(
+        codec=bt.Codec.LZ4, block_size=bs, burst_size=8, max_pool_slots=64,
+        use_tpu_kernels=True, interpret=True, compress_matcher="device")
+    with bt.Engine(cfg) as eng:
+        unit = eng.compress(data)
+        m = unit.manifest
+        from bitar_tpu.manifest import codec_id as cid
+        import bitar_tpu as bt2
+        assert int(m.codec_ids[2]) == cid(bt2.Codec.RAW), "random block RAW"
+        assert int(m.codec_ids[0]) == cid(bt2.Codec.LZ4), "text block LZ4"
+        assert m.ratio() > 1.5
+        out = eng.decompress(unit)
+        assert out.tobytes() == data
+        # serialization carries the device-emitted bytes faithfully
+        blob = unit.to_host().to_bytes()
+        eng.recycle(unit)
+        from bitar_tpu.manifest import CompressedBuffers
+        unit2 = eng.import_unit(CompressedBuffers.from_bytes(bytes(blob)))
+        assert eng.decompress(unit2).tobytes() == data
+        eng.recycle(unit2)
+
+
+def test_engine_deferred_commit_roundtrip(rng):
+    # commit="deferred": compress leaves bytes in pool staging (the
+    # reference contract); first device decode uploads them.  Bit-exact
+    # on both the host and kernel decode paths.
+    import bitar_tpu as bt
+
+    data = (b"deferred commit payload %d " % 5) * 2000
+    for use_tpu in (False, True):
+        cfg = bt.EngineConfig(
+            codec=bt.Codec.LZ4, block_size=16384, burst_size=8,
+            max_pool_slots=64, use_tpu_kernels=use_tpu, interpret=use_tpu,
+            commit="deferred")
+        with bt.Engine(cfg) as eng:
+            unit = eng.compress(data)
+            assert not unit._committed
+            out = eng.decompress(unit)
+            assert out.tobytes() == data
+            if use_tpu:
+                assert unit._committed, "device decode must commit"
+            # second decompress reuses the committed slots
+            assert eng.decompress(unit).tobytes() == data
+            eng.recycle(unit)
+
+
 def test_sizes_match_stream(rng):
     # The closed-form sizes must equal the true stream extent: decode
     # with a one-byte-short size must fail or mismatch.
