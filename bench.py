@@ -114,7 +114,7 @@ def main() -> int:
         os._exit(3)
 
     import bitar_tpu as bt
-    from bitar_tpu.utils.profiling import annotate
+    from bitar_tpu.utils.profiling import annotate, device_trace
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
@@ -177,18 +177,21 @@ def main() -> int:
     assert host.reshape(NBLOCKS, -1)[:, :BLOCK].reshape(-1).tobytes() == data, \
         "timed-path output mismatch"
 
+    # BITAR_TPU_TRACE_DIR=<dir> captures a jax.profiler device trace of
+    # the timed phase (no-op otherwise).
     dec_best = float("inf")
-    for run in range(3):
-        with annotate("bench.decompress"):
-            t0 = time.perf_counter()
-            last = None
-            for _ in range(REPS):
-                last = launch()
-            np.asarray(last[0, 0, :1])           # sync (readback forces it)
-            dt = (time.perf_counter() - t0) / REPS
-        dec_best = min(dec_best, dt)
-        print(f"bench: decompress run {run}: {dt * 1e3:.2f} ms/launch "
-              f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
+    with device_trace():
+        for run in range(3):
+            with annotate("bench.decompress"):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(REPS):
+                    last = launch()
+                np.asarray(last[0, 0, :1])       # sync (readback forces it)
+                dt = (time.perf_counter() - t0) / REPS
+            dec_best = min(dec_best, dt)
+            print(f"bench: decompress run {run}: {dt * 1e3:.2f} ms/launch "
+                  f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
 
     eng.recycle(unit)
     eng.release()

@@ -152,7 +152,12 @@ def worker(args) -> int:
             build_batch(nblocks)
     slot = comp_rows * 128
     sizes = np.array([len(c) for c in comps], np.int64)
-    splan = plan_shuffle(nblocks, d, sizes=sizes)
+    shard_cfg = None
+    if args.skew_bucket_log > 0:
+        from bitar_tpu.config import ShardingConfig
+        shard_cfg = ShardingConfig(data_axis=BLOCKS_AXIS, mesh_shape=(d,),
+                                   skew_bucket_log=args.skew_bucket_log)
+    splan = plan_shuffle(nblocks, d, sizes=sizes, config=shard_cfg)
     rows = np.zeros((nblocks, slot), np.uint8)
     for i, c in enumerate(comps):
         rows[i, :len(c)] = c
@@ -254,7 +259,8 @@ def launch(args) -> int:
             "--coordinator", f"localhost:{port}",
             "--devices-per-process", str(args.devices_per_process),
             "--blocks", str(args.blocks), "--reps", str(args.reps),
-            "--step", args.step]
+            "--step", args.step,
+            "--skew-bucket-log", str(args.skew_bucket_log)]
         env = dict(os.environ)
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
@@ -276,7 +282,8 @@ def launch(args) -> int:
         "--processes", "1", "--process-id", "0",
         "--devices-per-process", str(args.devices_per_process),
         "--blocks", str(args.blocks), "--reps", str(args.reps),
-        "--step", args.step]
+        "--step", args.step,
+        "--skew-bucket-log", str(args.skew_bucket_log)]
     bp = subprocess.run(base_cmd, capture_output=True, timeout=args.timeout,
                         cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                             os.path.abspath(__file__)))))
@@ -327,6 +334,10 @@ def main(argv=None) -> int:
     p.add_argument("--pin-cores", action="store_true",
                    help="give each worker (and the baseline) a disjoint, "
                         "equal core set via taskset")
+    p.add_argument("--skew-bucket-log", type=int, default=0,
+                   help="coarsen LPT shuffle ordering: bucket block sizes "
+                        "by log2(size) >> K before the balance sort "
+                        "(ShardingConfig.skew_bucket_log); 0 = exact sizes")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     if args.launch:

@@ -55,6 +55,17 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...status import Status, StatusError
+
+
+def _invalid(cond: bool, msg: str) -> None:
+    """Entry-invariant check that survives ``python -O`` (these guard
+    device-poisoning conditions; a stripped assert would hand the kernel
+    a mis-sized wire and hang a DMA semaphore)."""
+    if not cond:
+        raise StatusError(Status.Invalid(msg))
+
+
 LANES = 128
 _PLANS_VMEM_BYTES = 12 * 1024 * 1024   # plans at most this big go VMEM-resident
 _S_QUANTUM = 512      # plan-array length rounds up to this (bounds the set
@@ -440,17 +451,21 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
 
     Returns [N, out_rows, 128] uint8 decoded byte planes.
     """
-    assert pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2"
+    # Entry invariants guard device-poisoning conditions (e.g. an
+    # un-awaited DMA semaphore when the wire is mis-sized), so they are
+    # StatusErrors, not asserts — ``python -O`` must not strip them.
+    _invalid(pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2")
     banded = bands is not None
-    assert not (static_bands and not banded), "static_bands requires bands"
-    assert not (static_bands and mt_max > _MT_MAX), \
-        "planner band tiles are 1024 rows; coarser M-tiles break the promise"
+    _invalid(not (static_bands and not banded), "static_bands requires bands")
+    _invalid(
+        not (static_bands and mt_max > _MT_MAX),
+        "planner band tiles are 1024 rows; coarser M-tiles break the promise")
     if not banded:
         bands = jnp.zeros(1, jnp.int32)       # placeholder, never read
     n = comp.shape[0]
     with_dense = dq is not None
-    assert with_dense == (row_a is not None) == (dense is not None), \
-        "dq/row_a/dense travel together"
+    _invalid(with_dense == (row_a is not None) == (dense is not None),
+             "dq/row_a/dense travel together")
     if not with_dense:                        # placeholders, never read
         dq = jnp.zeros((1, 8, 128), jnp.int16)
         row_a = jnp.zeros((1, 1, 8, 128), jnp.int32)
@@ -460,15 +475,16 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         # Uncompacted planes: block i's wire lives at row i.
         dq_idx = jnp.arange(n, dtype=jnp.int32)
     nrows = out_rows
-    assert nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0"
-    assert comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows"
+    _invalid(nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0")
+    _invalid(comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows")
     if gather_rows is None:
         gather_rows = comp_rows
-    assert gather_rows % LANES == 0 and gather_rows <= comp_rows, \
-        "gather_rows must be lane-tiled and within the comp plane"
-    assert se_flat.shape[0] >= DCHUNK, "plan arrays need DCHUNK slack rows"
-    assert se_flat.dtype == jnp.int16 and shift_flat.dtype == jnp.int32
-    assert comp.dtype == jnp.int8
+    _invalid(gather_rows % LANES == 0 and gather_rows <= comp_rows,
+             "gather_rows must be lane-tiled and within the comp plane")
+    _invalid(se_flat.shape[0] >= DCHUNK, "plan arrays need DCHUNK slack rows")
+    _invalid(se_flat.dtype == jnp.int16 and shift_flat.dtype == jnp.int32,
+             "se/shift wire dtypes must be int16/int32")
+    _invalid(comp.dtype == jnp.int8, "comp planes must be biased int8")
     tiles = nrows // LANES
     # Small plan batches live wholly in VMEM (loaded once — the index map
     # is constant, so Pallas does not re-fetch per grid step) and skip the
@@ -753,7 +769,8 @@ def compute_bands(plans: dict, comp_rows: int, nrows: int,
 
     Returns int32 [S * mtiles] (SMEM-resident via scalar prefetch).
     """
-    assert bands_supported(comp_rows, nrows)
+    _invalid(bands_supported(comp_rows, nrows),
+             "banded gathers unsupported for this plane shape")
     se = plans["se"].astype(np.int32)          # [S, tiles, LANES]
     shift = plans["shift"]
     S = se.shape[0]
