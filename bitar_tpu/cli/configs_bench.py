@@ -21,10 +21,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persist Mosaic/XLA compiles across runs (20-300 s per kernel shape on
+# the remote compiler otherwise — enough to dominate every phase).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def _engine_knobs() -> dict:
@@ -116,9 +121,21 @@ def config2_one_gib(gib: float) -> dict:
         codec=bt.Codec.LZ4, block_size=128 * 1024,
         max_pool_slots=nblocks + 32, **_engine_knobs())
     eng = bt.Engine(cfg).initialize()
-    t0 = time.perf_counter()
-    unit = eng.compress(data)
-    t_c = time.perf_counter() - t0
+    # Best-of-3 like the reference (kNumTests=3, demo_app.h:45).  The
+    # first run additionally pays this VM's one-time RSS-growth page
+    # faults (~0.03 GB/s for fresh 2 GiB on the dev microVM — measured);
+    # steady state is the engine's rate, cold is reported alongside.
+    t_cold = best_c = float("inf")
+    unit = None
+    for run in range(3):
+        if unit is not None:
+            eng.recycle(unit)
+        t0 = time.perf_counter()
+        unit = eng.compress(data)
+        dt = time.perf_counter() - t0
+        if run == 0:
+            t_cold = dt
+        best_c = min(best_c, dt)
     ok = eng.decompress(unit).tobytes() == data   # bit-exact gate (untimed)
     t_d = min(_device_decode_time(eng, unit, nbytes) for _ in range(2))
     ratio = round(unit.manifest.ratio(), 3)
@@ -127,7 +144,8 @@ def config2_one_gib(gib: float) -> dict:
     return dict(
         config=2, input=f"{gib} GiB mixed buffer, {nblocks} x 128 KiB",
         bytes=nbytes, ratio=ratio,
-        compress_GBps=round(nbytes / t_c / 1e9, 3),
+        compress_GBps=round(nbytes / best_c / 1e9, 3),
+        compress_cold_GBps=round(nbytes / t_cold / 1e9, 3),
         decompress_GBps=round(nbytes / t_d / 1e9, 3),
         bit_exact=bool(ok))
 
@@ -147,58 +165,138 @@ def _device_decode_time(eng, unit, nbytes: int) -> float:
     return time.perf_counter() - t0
 
 
+def _run_streams(datas: list[bytes], codecs: list, reps: int = 2) -> float:
+    """Round-trip ``len(datas)`` concurrent streams (one engine each);
+    returns the best wall time.  Timed work per stream = compress +
+    plan build + device-resident decode; full-output verify runs
+    untimed afterwards (it reads the dev-tunnel link)."""
+    import bitar_tpu as bt
+
+    engines = []
+    for s, codec in enumerate(codecs):
+        knobs = dict(_engine_knobs(), burst_size=64)
+        cfg = bt.EngineConfig(
+            codec=codec, block_size=128 * 1024,
+            max_pool_slots=len(datas[s]) // (128 * 1024) + 16, **knobs)
+        engines.append(bt.Engine(cfg).initialize())
+
+    best = float("inf")
+    units: dict[int, object] = {}
+    for _ in range(reps):
+        for s, eng in enumerate(engines):
+            if s in units:
+                eng.recycle(units.pop(s))
+        streams = []
+        t0 = time.perf_counter()
+        for s, eng in enumerate(engines):
+            stream = bt.Stream(engine=eng, stream_id=s)
+
+            def cb(st, result, s=s, eng=eng):
+                if not result.is_ok():
+                    return result.status.to_int()
+                unit = result.value()
+                if eng.config.use_tpu_kernels:
+                    bursts = eng.decompress_device(unit)
+                    np.asarray(bursts[-1].reshape(-1)[:1])  # tiny sync
+                else:
+                    eng.decompress(unit)
+                units[s] = unit
+                return bt.ASYNC_RETURN_OK
+
+            stream.compress_async(bt.CompressParam(
+                engine=eng, data=datas[s],
+                result_callback=cb)).raise_if_error()
+            streams.append(stream)
+        rcs = [s.wait() for s in streams]
+        best = min(best, time.perf_counter() - t0)
+        assert all(rc == bt.ASYNC_RETURN_OK for rc in rcs), rcs
+        for s in streams:
+            s.close()
+    ok = True
+    for s, eng in enumerate(engines):
+        if s in units:
+            out = eng.decompress(units[s])     # untimed full verify
+            ok = ok and out.tobytes() == datas[s]
+            eng.recycle(units[s])
+        eng.release()
+    if not ok:
+        raise AssertionError("stream round-trip not bit-exact")
+    return best
+
+
+def _decode_scaling(datas: list[bytes], codecs: list, reps: int = 3) -> float:
+    """Device-resident decode wall time for N concurrent streams: units
+    are compressed, committed, and planned UNTIMED; the timed region
+    dispatches every stream's decode launches (jax async — they pipeline
+    on the one chip) and syncs each with a tiny readback."""
+    import bitar_tpu as bt
+
+    engines, units = [], []
+    for s, codec in enumerate(codecs):
+        knobs = dict(_engine_knobs(), burst_size=64)
+        cfg = bt.EngineConfig(
+            codec=codec, block_size=128 * 1024,
+            max_pool_slots=len(datas[s]) // (128 * 1024) + 16, **knobs)
+        eng = bt.Engine(cfg).initialize()
+        unit = eng.compress(datas[s])
+        eng.ensure_plans(unit)                 # commits + builds the wire
+        assert eng.decompress(unit).tobytes() == datas[s]  # verify, warm
+        engines.append(eng)
+        units.append(unit)
+    import jax.numpy as jnp
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # Sequential dispatch beats a thread pool here (measured 0.67 vs
+        # 0.53 scaling: GIL contention outweighs any prep overlap); the
+        # device launches pipeline regardless.
+        bursts = [eng.decompress_device(unit)
+                  for eng, unit in zip(engines, units)]
+        # ONE fused tiny readback syncs every stream's chain: a per-
+        # stream np.asarray would serialize N ~26 ms tunnel round trips
+        # and measure the link, not the chip.
+        np.asarray(jnp.concatenate(
+            [bs[-1].reshape(-1)[:1] for bs in bursts]))
+        best = min(best, time.perf_counter() - t0)
+    for eng, unit in zip(engines, units):
+        eng.recycle(unit)
+        eng.release()
+    return best
+
+
 def config3_mixed_streams() -> dict:
-    """8 concurrent streams, 4 LZ4 + 4 Zstd engines, one host."""
+    """8 concurrent streams (4 LZ4 + 4 Zstd engines) vs ONE stream over
+    the same total bytes — the reference async suite's scaling question
+    (``demo_app.cc:548-693``) answered per phase on one chip:
+
+    * ``decode_*``: device-resident decode only (what the chip does) —
+      the honest on-device stream-scaling number.
+    * ``round_trip_*``: compress + staging + decode; on the dev tunnel
+      this measures the ~0.04 GB/s host->device link, reported so the
+      artifact states the measured reason round-trip cannot scale here.
+    """
     import bitar_tpu as bt
 
     per_stream = 8 * (1 << 20)
     datas = [_mixed_buffer(per_stream, seed=100 + s) for s in range(8)]
-    units: dict[int, object] = {}
-    streams = []
-    t0 = time.perf_counter()
-    for s in range(8):
-        codec = bt.Codec.LZ4 if s % 2 == 0 else bt.Codec.ZSTD
-        knobs = dict(_engine_knobs(), burst_size=64)
-        cfg = bt.EngineConfig(
-            codec=codec, block_size=128 * 1024,
-            max_pool_slots=per_stream // (128 * 1024) + 16, **knobs)
-        eng = bt.Engine(cfg).initialize()
-        stream = bt.Stream(engine=eng, stream_id=s)
-
-        def cb(st, result, s=s, eng=eng):
-            # Timed work = compress + device-resident decode (the
-            # production contract); the bit-exact verify reads the full
-            # output back over the dev-tunnel link and runs untimed.
-            if not result.is_ok():
-                return result.status.to_int()
-            unit = result.value()
-            if eng.config.use_tpu_kernels:     # host-only engines verify below
-                bursts = eng.decompress_device(unit)
-                np.asarray(bursts[-1][-1, -1])  # force this stream's chain
-            units[s] = unit
-            return bt.ASYNC_RETURN_OK
-
-        st = stream.compress_async(bt.CompressParam(
-            engine=eng, data=datas[s], result_callback=cb))
-        st.raise_if_error()
-        streams.append((stream, eng))
-    rcs = [s.wait() for s, _ in streams]
-    wall = time.perf_counter() - t0
-    results: dict[int, bool] = {}
-    for s, (stream, eng) in enumerate(streams):
-        if s in units:
-            out = eng.decompress(units[s])     # untimed full verify
-            results[s] = out.tobytes() == datas[s]
-            eng.recycle(units[s])
-        stream.close()
-        eng.release()
     total = 8 * per_stream
+    codecs8 = [bt.Codec.LZ4 if s % 2 == 0 else bt.Codec.ZSTD
+               for s in range(8)]
+
+    dec8 = _decode_scaling(datas, codecs8)
+    dec1 = _decode_scaling([b"".join(datas)], [bt.Codec.LZ4])
+    wall8 = _run_streams(datas, codecs8)
+    wall1 = _run_streams([b"".join(datas)], [bt.Codec.LZ4])
     return dict(
-        config=3, input="8 streams x 8 MiB, engines: 4 LZ4 + 4 Zstd",
+        config=3, input="8 streams x 8 MiB (4 LZ4 + 4 Zstd) vs 1 x 64 MiB",
         bytes=total,
-        round_trip_GBps=round(total / wall / 1e9, 3),
-        stream_rcs=rcs,
-        bit_exact=all(results.get(s, False) for s in range(8)))
+        decode_GBps=round(total / dec8 / 1e9, 3),
+        decode_one_stream_GBps=round(total / dec1 / 1e9, 3),
+        decode_stream_scaling=round(dec1 / dec8, 2),
+        round_trip_GBps=round(total / wall8 / 1e9, 3),
+        round_trip_one_stream_GBps=round(total / wall1 / 1e9, 3),
+        bit_exact=True)
 
 
 def main(argv=None) -> int:

@@ -291,22 +291,37 @@ def evaluate_skewed(engine: Engine, nblocks: int) -> dict:
     burst = engine.config.burst_size
     done = []
     for k, fut in enumerate(bursts):
-        np.asarray(fut if not isinstance(fut, tuple) else fut[-1])
+        # Per-burst completion via a TINY readback (one device-sliced
+        # byte): a full-array np.asarray would measure the host link,
+        # not the decode — with small bursts over hundreds of blocks the
+        # p50/p99 below are a real distribution, not 3 samples.
+        arr = fut if not isinstance(fut, tuple) else fut[-1]
+        np.asarray(arr.reshape(-1)[:1])
         done.append(time.perf_counter() - t0)
         lo = k * burst
         lat[lo:min(lo + burst, m.nblocks)] = done[-1]
     total = done[-1]
     order = np.sort(lat * 1e3)
+
+    def pct(q):
+        return round(float(order[int(q * (len(order) - 1))]), 2)
+
     stats = {
         "blocks": int(m.nblocks),
+        "bursts": len(done),
+        "burst_size": int(burst),
         "bytes": len(data),
         "total_ms": round(total * 1e3, 2),
         "GBps": round(len(data) / total / 1e9, 3),
-        "lat_p50_ms": round(float(order[int(0.50 * (len(order) - 1))]), 2),
-        "lat_p99_ms": round(float(order[int(0.99 * (len(order) - 1))]), 2),
+        "lat_p10_ms": pct(0.10), "lat_p25_ms": pct(0.25),
+        "lat_p50_ms": pct(0.50), "lat_p75_ms": pct(0.75),
+        "lat_p90_ms": pct(0.90), "lat_p99_ms": pct(0.99),
         "lat_max_ms": round(float(order[-1]), 2),
+        # per-burst completion samples (ms) — the raw distribution
+        "burst_lat_ms": [round(x * 1e3, 2) for x in done],
     }
-    print("skewed latency:", stats)
+    print("skewed latency:", {k: v for k, v in stats.items()
+                              if k != "burst_lat_ms"})
     engine.recycle(unit)
     return stats
 
@@ -437,7 +452,11 @@ def main(argv: list[str] | None = None) -> int:
                 else args.file + ".out")
             run_decompress_file(engines[0], data, out_path)
         elif args.mode == "skewed":
-            evaluate_skewed(engines[0], args.blocks)
+            stats = evaluate_skewed(engines[0], args.blocks)
+            if args.output:
+                import json
+                with open(args.output, "w") as f:
+                    json.dump(stats, f, indent=1)
         else:
             if args.mode in ("all", "sync"):
                 evaluate_sync(engines[0], data)

@@ -117,6 +117,30 @@ class CompressedUnit:
     plan_comp_rows: int = 0
     recycled: bool = field(default=False)
     _plan_dev: tuple | None = field(default=None, repr=False)
+    #: device-resident zstd literal planes + block->plane row map,
+    #: uploaded once per unit (re-uploading per decode launch measured
+    #: 12x off on concurrent zstd streams: the planes ride the slow
+    #: host link every call otherwise).
+    _lit_dev: tuple | None = field(default=None, repr=False)
+
+    def lit_device_arrays(self, comp_rows: int):
+        """[k, comp_rows, 128] int8 biased literal planes + {block: row}
+        map, uploaded once and shared by every decode launch."""
+        if self._lit_dev is None:
+            lit_planes = (self.plan_flat or {}).get("lit_planes") or {}
+            if not lit_planes:
+                self._lit_dev = (None, {})
+            else:
+                stack = np.full((len(lit_planes), comp_rows * 128), -128,
+                                np.int8)
+                pos = {}
+                for k, (i, lit) in enumerate(sorted(lit_planes.items())):
+                    stack[k, :lit.shape[0]] = (
+                        lit.astype(np.int16) - 128).astype(np.int8)
+                    pos[i] = k
+                self._lit_dev = (
+                    jnp.asarray(stack.reshape(-1, comp_rows, 128)), pos)
+        return self._lit_dev
     #: Host copy of the staged slot rows, kept by compress/import so the
     #: lazy decode-sidecar builders (ensure_plans/ensure_tables) never pay
     #: a device readback; dropped once plans exist.
@@ -921,20 +945,11 @@ class Engine:
         plans = unit.plan_flat
         se_dev, shift_dev, dq_dev, ra_dev = unit.plan_device_arrays()
         dense_np = plans.get("dense")
-        lit_planes = plans.get("lit_planes") or {}
-        lit_dev = None
-        lit_pos = {}
-        if lit_planes:
-            # Upload the zstd literal planes once per unit (biased int8),
-            # then scatter them over the gathered comp planes per burst:
-            # the kernel's source plane for those blocks is the decoded
-            # literal stream, not the compressed bytes.
-            stack = np.full((len(lit_planes), comp_rows * 128), -128, np.int8)
-            for k, (i, lit) in enumerate(sorted(lit_planes.items())):
-                stack[k, :lit.shape[0]] = (
-                    lit.astype(np.int16) - 128).astype(np.int8)
-                lit_pos[i] = k
-            lit_dev = jnp.asarray(stack.reshape(-1, comp_rows, 128))
+        # zstd literal planes: the kernel's source plane for those blocks
+        # is the decoded literal stream, not the compressed bytes; they
+        # upload ONCE per unit and are scattered over the gathered comp
+        # planes per burst.
+        lit_dev, lit_pos = unit.lit_device_arrays(comp_rows)
         launches = []
         for start in range(0, n, burst):
             stop = min(n, start + burst)
@@ -1004,16 +1019,9 @@ class Engine:
         comp_rows = unit.plan_comp_rows
         rows = self.arena.gather_burst([r.slot for r in unit.refs])
         planes = bias_planes(rows, comp_rows)
-        lit_planes = plans.get("lit_planes") or {}
-        if lit_planes:
-            stack = np.full((len(lit_planes), comp_rows * 128), -128, np.int8)
-            idxs = []
-            for k, (i, lit) in enumerate(sorted(lit_planes.items())):
-                stack[k, :lit.shape[0]] = (
-                    lit.astype(np.int16) - 128).astype(np.int8)
-                idxs.append(i)
-            planes = planes.at[jnp.asarray(idxs)].set(
-                jnp.asarray(stack.reshape(-1, comp_rows, 128)))
+        lit_dev, lit_pos = unit.lit_device_arrays(comp_rows)
+        if lit_dev is not None:
+            planes = planes.at[jnp.asarray(sorted(lit_pos))].set(lit_dev)
         p_used = jnp.asarray(plans["p_used"])
         p_off = jnp.asarray(plans["p_off"])
         p0 = jnp.asarray(plans["p0"])
