@@ -374,12 +374,10 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
                 pid = lax.bitwise_and(lax.shift_right_logical(v, 9), 0x3F)
                 qlane = lax.bitwise_and(v, LANES - 1)
                 dr = lax.bitwise_and(lax.shift_right_logical(v, 7), 3)
-                # One fused take per pass: the (pane, lane) pick is a
-                # single loop-invariant index into the 384-wide window
-                # (was 3 takes + a 2-deep select chain per pass — the
-                # take/select share dominates dense-pass cost on
-                # fragment-dense text).
-                widx = dr * LANES + qlane
+                # NOTE (measured 2026-08-19): fusing the 3 takes into one
+                # take over the 384-wide window fails Mosaic lowering —
+                # dynamic lane gathers must stay within one 128-lane
+                # tile.  The 3-take + select chain is the lowerable form.
 
                 def dense_pass(j, cur):
                     ra = _colcast(row_a_ref[0, j], t0, nt)   # [MT, 128]
@@ -391,7 +389,13 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
                         oh = (kio == (ra1 - ck)).astype(jnp.int8)
                         acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
                                             preferred_element_type=jnp.int32)
-                    val = jnp.take_along_axis(acc, widx, axis=1)
+                    va = jnp.take_along_axis(acc[:, 0:LANES], qlane, axis=1)
+                    vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane,
+                                             axis=1)
+                    vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane,
+                                             axis=1)
+                    val = jnp.where(dr == 0, va,
+                                    jnp.where(dr == 1, vb, vc))
                     return jnp.where(pid == j + 1, val.astype(jnp.int8), cur)
 
                 out_sc[mt:mt + MT, 0:LANES] = lax.fori_loop(
