@@ -184,6 +184,16 @@ class EngineConfig:
     checksum: Checksum = Checksum.NONE
     max_pool_slots: int = 4096          # arena slot budget (memzone budget analog)
     pipeline_depth: int = 2             # double-buffered HBM->VMEM staging depth
+    dense_q: int = 4                    # dense decode passes batched per stacked
+                                        # gather (anchors concatenate along the
+                                        # matmul M dim; passes are independent —
+                                        # all read the constant comp plane).
+                                        # 1 = unbatched; per-pass fixed costs
+                                        # dominate text decode, so >1 amortizes
+    dense_sub: int = 128                # dense-pass M-subtile rows: each
+                                        # subtile loops only its OWN max
+                                        # window count (row window counts are
+                                        # skewed; see lz4_decode_flat._DENSE_SUB)
     use_tpu_kernels: bool = True        # False -> host (native C++) codec path
     interpret: bool = False             # run Pallas kernels in interpreter mode
     compress_matcher: str = "host"      # "host" (hash matcher, quality),
@@ -246,6 +256,14 @@ class EngineConfig:
             return Status.Invalid(
                 f"pipeline_depth {self.pipeline_depth} outside "
                 f"[1, {caps.max_inflight_bursts}]")
+        if not (1 <= self.dense_q <= 8):
+            return Status.Invalid(
+                f"dense_q {self.dense_q} outside [1, 8] (VMEM transients "
+                f"scale with dense_q * mt_max rows)")
+        if self.dense_sub % 128 or self.dense_sub < 128:
+            return Status.Invalid(
+                f"dense_sub {self.dense_sub} must be a positive multiple "
+                f"of 128 (lane-tiled subtile rows)")
         if self.max_pool_slots < MIN_POOL_SLOTS:
             return Status.Invalid(
                 f"max_pool_slots {self.max_pool_slots} < minimum {MIN_POOL_SLOTS} "

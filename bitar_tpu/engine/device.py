@@ -990,7 +990,8 @@ class Engine:
                 gather_rows=plans.get("gather_rows", comp_rows),
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
-                static_bands=plans.get("bands_static", False))
+                static_bands=plans.get("bands_static", False),
+                dense_q=cfg.dense_q, dense_sub=cfg.dense_sub)
             launches.append((chunk, result))
             self.stats.enqueued_blocks += nb
         return launches
@@ -1043,7 +1044,8 @@ class Engine:
                 gather_rows=plans.get("gather_rows", comp_rows),
                 interpret=cfg.interpret,
                 pipeline_depth=min(2, cfg.pipeline_depth),
-                static_bands=static)
+                static_bands=static, dense_q=cfg.dense_q,
+                dense_sub=cfg.dense_sub)
 
         return launch
 

@@ -74,6 +74,11 @@ CB = 4                # passes per phase batch (and per DMA transfer)
 DCHUNK = CB           # plan rows per DMA transfer
 KBAND = 256           # source rows per banded-gather matmul chunk
 _MT_MAX = 1024        # M-tile rows (bounds VMEM transients; see kernel)
+_DENSE_Q = 4          # dense passes batched per gather (anchors stack on M)
+_DENSE_SUB = 128      # dense-pass M-subtile rows: each subtile loops only ITS
+                      # max window count (per-row window counts are wildly
+                      # skewed — measured 14% utilization at whole-block
+                      # granularity on markdown, 34% at 128-row subtiles)
 
 
 def mtile_count(nrows: int, mt_max: int = _MT_MAX) -> int:
@@ -94,12 +99,13 @@ def _colcast(vt, t0: int, nt: int):
 
 
 def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
-                 bands_ref, se_ref, shift_ref, dq_ref, row_a_ref,
+                 dnsub_ref, bands_ref, se_ref, shift_ref, dq_ref, row_a_ref,
                  comp_ref, out_ref, comp_sc, out_sc, *rest,
                  comp_rows: int, out_rows: int, gather_rows: int,
                  prefetch: bool,
                  plans_vmem: bool, banded: bool, static_bands: bool,
-                 with_dense: bool, mt_max: int):
+                 with_dense: bool, mt_max: int, dense_q: int,
+                 dense_sub: int):
     if plans_vmem:
         se_buf = shift_buf = sems = None
     else:
@@ -363,14 +369,26 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
         # plan.cc Densify) — one anchored gather + select per window set
         # replaces up to ~56 scheduled comp passes on fragment-dense
         # data.  The wire's 6-bit pass-id field selects which bytes each
-        # dense pass writes.
+        # dense pass writes.  Two measured facts shape the loop:
+        #   * per-ROW window counts are wildly skewed (markdown: 2/3 of
+        #     rows carry NO dense cells; mean/max = 14%), so looping the
+        #     whole block to the block max wastes ~6x the gather work —
+        #     each DS-row SUBTILE loops only to ITS own max (dnsub_ref,
+        #     derived from the wire's top bits in the wrapper);
+        #   * passes all read the never-written comp scratch, so they
+        #     are mutually independent — Q of them batch into ONE
+        #     stacked gather (anchors concatenated along M).
+        DS = min(nrows, dense_sub, MT)
+        nsub = nrows // DS
         @pl.when(dense_ref[b] > 0)
         def _dense():
             nd = dense_ref[b]
-            for mt in range(0, nrows, MT):
-                t0 = mt // LANES
-                nt = MT // LANES
-                v = dq_ref[0][mt:mt + MT].astype(jnp.int32)
+            di = dqidx_ref[b]
+            Q = dense_q
+            for st in range(0, nrows, DS):
+                t0 = st // LANES
+                nt = DS // LANES
+                v = dq_ref[0][st:st + DS].astype(jnp.int32)
                 pid = lax.bitwise_and(lax.shift_right_logical(v, 9), 0x3F)
                 qlane = lax.bitwise_and(v, LANES - 1)
                 dr = lax.bitwise_and(lax.shift_right_logical(v, 7), 3)
@@ -378,28 +396,42 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
                 # take over the 384-wide window fails Mosaic lowering —
                 # dynamic lane gathers must stay within one 128-lane
                 # tile.  The 3-take + select chain is the lowerable form.
+                qlane_q = jnp.concatenate([qlane] * Q, axis=0)
+                dr_q = jnp.concatenate([dr] * Q, axis=0)
+                ndm = dnsub_ref[di * nsub + st // DS]
 
-                def dense_pass(j, cur):
-                    ra = _colcast(row_a_ref[0, j], t0, nt)   # [MT, 128]
-                    ra1 = ra[:, 0:1]
-                    acc = jnp.zeros((MT, 3 * LANES), jnp.int32)
+                def dense_quad(g, cur):
+                    j0 = g * Q
+                    # Pass ids past nd-1 clamp to a valid anchor row (the
+                    # wire may not be Q-padded); their pid test j+1 > nd
+                    # never matches, so the clamped gather is dead work,
+                    # not a wrong write.
+                    ra1 = jnp.concatenate(
+                        [_colcast(row_a_ref[0, jnp.minimum(j0 + q, nd - 1)],
+                                  t0, nt)[:, 0:1] for q in range(Q)], axis=0)
+                    acc = jnp.zeros((Q * DS, 3 * LANES), jnp.int32)
                     for ck in range(0, gather_rows, KC):
                         kc = min(KC, gather_rows - ck)
-                        kio = lax.broadcasted_iota(jnp.int32, (MT, kc), 1)
+                        kio = lax.broadcasted_iota(jnp.int32, (Q * DS, kc), 1)
                         oh = (kio == (ra1 - ck)).astype(jnp.int8)
                         acc = acc + jnp.dot(oh, comp_sc[ck:ck + kc, :],
                                             preferred_element_type=jnp.int32)
-                    va = jnp.take_along_axis(acc[:, 0:LANES], qlane, axis=1)
-                    vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane,
+                    va = jnp.take_along_axis(acc[:, 0:LANES], qlane_q, axis=1)
+                    vb = jnp.take_along_axis(acc[:, LANES:2 * LANES], qlane_q,
                                              axis=1)
-                    vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane,
+                    vc = jnp.take_along_axis(acc[:, 2 * LANES:], qlane_q,
                                              axis=1)
-                    val = jnp.where(dr == 0, va,
-                                    jnp.where(dr == 1, vb, vc))
-                    return jnp.where(pid == j + 1, val.astype(jnp.int8), cur)
+                    val = jnp.where(dr_q == 0, va,
+                                    jnp.where(dr_q == 1, vb, vc)).astype(
+                                        jnp.int8)
+                    for q in range(Q):
+                        cur = jnp.where(pid == j0 + q + 1,
+                                        val[q * DS:(q + 1) * DS], cur)
+                    return cur
 
-                out_sc[mt:mt + MT, 0:LANES] = lax.fori_loop(
-                    0, nd, dense_pass, out_sc[mt:mt + MT, 0:LANES])
+                out_sc[st:st + DS, 0:LANES] = lax.fori_loop(
+                    0, (ndm + Q - 1) // Q, dense_quad,
+                    out_sc[st:st + DS, 0:LANES])
 
     @pl.when(dense_ref[b] >= 0)
     def _phases():
@@ -419,14 +451,16 @@ def _flat_kernel(p_used_ref, p_off_ref, p0_ref, dense_ref, dqidx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("comp_rows", "out_rows", "gather_rows", "interpret",
-                     "pipeline_depth", "mt_max", "static_bands"))
+                     "pipeline_depth", "mt_max", "static_bands", "dense_q",
+                     "dense_sub"))
 def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                        bands=None, dq=None, row_a=None, dense=None,
                        dq_idx=None, *,
                        comp_rows: int, out_rows: int,
                        gather_rows: int | None = None,
                        interpret: bool = False, pipeline_depth: int = 2,
-                       mt_max: int = _MT_MAX, static_bands: bool = False):
+                       mt_max: int = _MT_MAX, static_bands: bool = False,
+                       dense_q: int = _DENSE_Q, dense_sub: int = _DENSE_SUB):
     """Decode a batch of blocks via flat (pad-free) scheduled plans.
 
     Args:
@@ -461,6 +495,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     _invalid(pipeline_depth in (1, 2), "plan DMA supports depth 1 or 2")
     banded = bands is not None
     _invalid(not (static_bands and not banded), "static_bands requires bands")
+    _invalid(1 <= dense_q <= 8, "dense_q batches 1..8 passes per gather")
+    _invalid(dense_sub % LANES == 0, "dense_sub must be a 128-row multiple")
     _invalid(
         not (static_bands and mt_max > _MT_MAX),
         "planner band tiles are 1024 rows; coarser M-tiles break the promise")
@@ -478,6 +514,21 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
     elif dq_idx is None:
         # Uncompacted planes: block i's wire lives at row i.
         dq_idx = jnp.arange(n, dtype=jnp.int32)
+    ds_rows = min(out_rows, dense_sub, mt_max)
+    nsub = out_rows // ds_rows
+    if with_dense:
+        # Per-(wire row, subtile) max window count, so each subtile's
+        # dense loop stops at ITS own max.  pid rides the wire's TOP
+        # used bits (value = pid<<9 | dr<<7 | qlane, bit 15 clear), so a
+        # plain max over the wire recovers max pid — one cheap reduce
+        # per launch, no extra host wire.
+        row_wc = lax.shift_right_logical(
+            jnp.max(dq.astype(jnp.int32), axis=2), 9)
+        dn_sub = jnp.max(
+            row_wc.reshape(dq.shape[0], nsub, ds_rows), axis=2
+        ).reshape(-1).astype(jnp.int32)
+    else:
+        dn_sub = jnp.zeros(nsub, jnp.int32)   # placeholder, never read
     nrows = out_rows
     _invalid(nrows % LANES == 0, "flat kernel requires out_rows % 128 == 0")
     _invalid(comp_rows % LANES == 0, "gather K dim wants lane-tiled comp_rows")
@@ -517,10 +568,10 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         # planes are compacted: identity/none blocks carry no wire and
         # point at a neighboring row, which Pallas only re-fetches when
         # the index changes).
-        def _dq_map(i, pu, po, p0r, dn, di, bd):
+        def _dq_map(i, pu, po, p0r, dn, di, ds, bd):
             return (di[i], 0, 0)
 
-        def _ra_map(i, pu, po, p0r, dn, di, bd):
+        def _ra_map(i, pu, po, p0r, dn, di, ds, bd):
             return (di[i], 0, 0, 0)
 
         dense_specs = [
@@ -537,7 +588,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
                          memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n,),
         in_specs=plan_specs + dense_specs + [
             pl.BlockSpec((1, comp_rows, 128), lambda i, *_: (i, 0, 0),
@@ -555,7 +606,8 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         _flat_kernel, comp_rows=comp_rows, out_rows=out_rows,
         gather_rows=gather_rows,
         prefetch=pipeline_depth == 2, plans_vmem=plans_vmem, banded=banded,
-        static_bands=static_bands, with_dense=with_dense, mt_max=mt_max)
+        static_bands=static_bands, with_dense=with_dense, mt_max=mt_max,
+        dense_q=dense_q, dense_sub=dense_sub)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -566,7 +618,7 @@ def decode_blocks_flat(comp, p_used, p_off, p0, se_flat, shift_flat,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(p_used, p_off, p0, dense, dq_idx, bands, se_flat, shift_flat,
+    )(p_used, p_off, p0, dense, dq_idx, dn_sub, bands, se_flat, shift_flat,
       dq, row_a, comp)
 
 
