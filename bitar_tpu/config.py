@@ -160,6 +160,24 @@ DEFAULT_BURST_SIZE = 32
 DEFAULT_BLOCK_SIZE = 128 * 1024
 MIN_POOL_SLOTS = 20              # reference kMinPreallocateMemzones (memory.h:51)
 
+# Parse segment for the full-offload (device matcher) compress path: also
+# the on-device match-length cap.  512 keeps RLE ratios useful while the
+# parse scan stays at seg/min_match steps (see ops/device_compress.py).
+DEVICE_PARSE_SEG = 512
+
+
+def device_matcher_slots(block_size: int, min_match: int,
+                         seg: int = DEVICE_PARSE_SEG) -> int:
+    """Sequence-slot count of the device-offload emission layout.
+
+    ``materialize`` packs the slot index into a 15-bit scan key, so
+    nseg*nstep + 1 must stay < 2**15; validated at config time so a
+    validated config can never hit the packing limit at compress time."""
+    seg = min(seg, block_size)
+    nseg = -(-block_size // seg)
+    nstep = seg // min_match + 1
+    return nseg * nstep + 1
+
 
 @dataclass(frozen=True, slots=True)
 class EngineConfig:
@@ -294,6 +312,20 @@ class EngineConfig:
             if self.block_size % (128 * 128) != 0:
                 return Status.Invalid(
                     "tpu matcher needs block_size % 16384 == 0 (lane-tiled rows)")
+            bad_off = [d for d in self.match_offsets
+                       if not (1 <= d <= 0xFFFF)]
+            if bad_off:
+                return Status.Invalid(
+                    f"match_offsets {bad_off[:4]} outside [1, 65535] "
+                    f"(LZ4/Snappy 16-bit distance; device emission packs "
+                    f"offsets in 16 bits)")
+        if self.compress_matcher == "device":
+            slots = device_matcher_slots(self.block_size, self.min_match)
+            if slots >= (1 << 15):
+                return Status.Invalid(
+                    f"device matcher layout needs {slots} sequence slots "
+                    f">= 2^15 (block_size {self.block_size} / min_match "
+                    f"{self.min_match}); raise min_match or shrink blocks")
         if self.commit not in ("eager", "deferred"):
             return Status.Invalid(
                 f"commit {self.commit!r} not in (eager, deferred)")

@@ -39,6 +39,7 @@ import numpy as np
 from ..config import (
     Checksum,
     Codec,
+    DEVICE_PARSE_SEG,
     DeviceCapabilities,
     EngineConfig,
     capabilities_for_platform,
@@ -127,7 +128,12 @@ class CompressedUnit:
         """[k, comp_rows, 128] int8 biased literal planes + {block: row}
         map, uploaded once and shared by every decode launch."""
         if self._lit_dev is None:
-            lit_planes = (self.plan_flat or {}).get("lit_planes") or {}
+            if self.plan_flat is None:
+                # Pre-plan caller: no sidecar yet — do NOT cache, or the
+                # zstd literal planes would be silently lost once plans
+                # exist (the cache is one-shot).
+                return (None, {})
+            lit_planes = self.plan_flat.get("lit_planes") or {}
             if not lit_planes:
                 self._lit_dev = (None, {})
             else:
@@ -153,6 +159,11 @@ class CompressedUnit:
     #: commit); Engine._ensure_committed uploads them before any arena
     #: read.
     _committed: bool = field(default=True, repr=False)
+    #: Table-path validation cache: per-block (arena write generation,
+    #: status) as of the last framing walk.  Blocks whose slot generation
+    #: is unchanged skip the O(bytes) host re-walk on later decompresses.
+    _val_gen: np.ndarray | None = field(default=None, repr=False)
+    _val_status: np.ndarray | None = field(default=None, repr=False)
 
     def plan_device_arrays(self):
         """The unit's flat plan (se, shift, dq, row_a) as device arrays,
@@ -450,8 +461,9 @@ class Engine:
 
     # Parse segment for the full-offload path: also the on-device match
     # cap.  512 keeps RLE ratios useful (512/~7B per sequence) while the
-    # parse scan stays at seg/min_match steps.
-    _DEVICE_SEG = 512
+    # parse scan stays at seg/min_match steps.  Shared with
+    # EngineConfig.validate's slot-count check (config.DEVICE_PARSE_SEG).
+    _DEVICE_SEG = DEVICE_PARSE_SEG
 
     def _compress_device_full(self, raw: np.ndarray, manifest: BlockManifest):
         """Fully offloaded compression: match + parse + emission execute
@@ -1131,31 +1143,52 @@ class Engine:
         re-parse each block's CURRENT compressed bytes and check the
         decoded extent against the manifest.  Runs in the kernel
         launches' shadow; a block whose slot bytes no longer walk
-        cleanly is named in ``status``."""
+        cleanly is named in ``status``.
+
+        GENERATION-GATED: the walk is O(bytes) per block, so its result
+        caches per block keyed by the arena slot's write generation —
+        repeat decompresses of untouched slots do O(1) host work, while
+        a slot rewritten after table build (the corruption the walk
+        exists to catch) re-validates (reference per-op status walk,
+        ``device.cc:512-520``, whose device re-reads are free)."""
         m = unit.manifest
+        all_slots = [r.slot for r in unit.refs]
+        # Capture generations BEFORE reading bytes: a write racing the
+        # gather bumps the gen, so the stale validation can't stick.
+        gens = self.arena.slot_generations(all_slots)
+        if unit._val_gen is None:
+            stale = np.arange(m.nblocks)
+            unit._val_status = np.zeros(m.nblocks, np.int32)
+        else:
+            stale = np.flatnonzero(gens != unit._val_gen)
         burst = self.config.burst_size
-        for start in range(0, m.nblocks, burst):
-            stop = min(m.nblocks, start + burst)
-            slots = [r.slot for r in unit.refs[start:stop]]
-            rows = np.asarray(self.arena.gather_burst(slots))
-            for i in range(start, stop):
+        for start in range(0, stale.shape[0], burst):
+            idx = stale[start:start + burst]
+            rows = np.asarray(self.arena.gather_burst(
+                [all_slots[int(i)] for i in idx]))
+            for j, ii in enumerate(idx):
+                i = int(ii)
+                st = 0
                 cid = int(m.codec_ids[i])
-                comp = rows[i - start, :int(m.comp_len[i])]
+                comp = rows[j, :int(m.comp_len[i])]
                 codec = codec_from_id(cid)
                 if codec == Codec.RAW:
                     if int(m.comp_len[i]) != int(m.raw_len[i]):
-                        status[i] = Status.IOError("").to_int()
-                    continue
-                impl = registry.get_impl(codec)
-                try:
-                    t = native.parse_sequences(comp, impl.parse_name)
-                    ends = t["out_pos"] + t["lit_len"] + t["mlen"]
-                    total = int(ends[-1]) if ends.shape[0] else 0
-                except StatusError as e:
-                    status[i] = e.status.to_int()
-                    continue
-                if total != int(m.raw_len[i]):
-                    status[i] = Status.IOError("").to_int()
+                        st = Status.IOError("").to_int()
+                else:
+                    impl = registry.get_impl(codec)
+                    try:
+                        t = native.parse_sequences(comp, impl.parse_name)
+                        ends = t["out_pos"] + t["lit_len"] + t["mlen"]
+                        total = int(ends[-1]) if ends.shape[0] else 0
+                        if total != int(m.raw_len[i]):
+                            st = Status.IOError("").to_int()
+                    except StatusError as e:
+                        st = e.status.to_int()
+                unit._val_status[i] = st
+        unit._val_gen = gens
+        bad = unit._val_status < 0
+        status[bad] = unit._val_status[bad]
 
     def _decompress_host(self, unit: CompressedUnit, out: np.ndarray
                          ) -> np.ndarray:

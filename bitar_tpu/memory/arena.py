@@ -178,6 +178,12 @@ class DeviceArena:
         self._tracker: dict[int, int] = {}  # id(ref) -> slot
         self._write = jax.jit(_scatter_rows, donate_argnums=(0,))
         self._gather = jax.jit(_gather_rows)
+        # Per-slot write generation: bumped on every write_burst.  Lets
+        # decode-side validators cache per-block results and re-walk only
+        # slots whose bytes could have changed (reference contrast: the
+        # DPU re-reads host memzones on every op, device.cc:465-535; here
+        # a host re-walk is O(bytes), so it is generation-gated).
+        self._slot_gen = np.zeros(max_slots, np.int64)
         # Data-plane mutex: writes donate the pool buffer in place, so two
         # concurrent streams must not race on the handle (the reference
         # guards its shared DeviceMemory pool the same way, memory.cc:162).
@@ -196,7 +202,13 @@ class DeviceArena:
         assert rows.ndim == 2 and rows.shape[1] <= self.slot_size, rows.shape
         idx = jnp.asarray(np.asarray(slot_ids, dtype=np.int32))
         with self._buf_lock:
+            self._slot_gen[np.asarray(slot_ids, dtype=np.int64)] += 1
             self._buf = self._write(self._buf, rows, idx)
+
+    def slot_generations(self, slot_ids: list[int]) -> np.ndarray:
+        """Current write-generation per slot (validation-cache key)."""
+        with self._buf_lock:
+            return self._slot_gen[np.asarray(slot_ids, dtype=np.int64)].copy()
 
     def gather_burst(self, slot_ids: list[int]) -> jax.Array:
         idx = jnp.asarray(np.asarray(slot_ids, dtype=np.int32))

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..status import Status, StatusError
 from .pallas.lz4_match import DEFAULT_OFFSETS, find_matches
 
 # LZ4 worst-case expansion for an L-byte block (all literals): one token,
@@ -216,8 +217,12 @@ def materialize(planes, layout, *, out_width: int):
     s1 = starts + 1
     # Slot INDEX (15 bits at any practical M) keys the off scan so the
     # full 16-bit offset rides one word; mv packs under s1 (<= 2^18).
+    # EngineConfig.validate (device_matcher_slots) rejects configs that
+    # reach this at config time; direct callers get the same Status.
     if nslots >= (1 << 15):
-        raise ValueError(f"too many sequence slots ({nslots}) to pack")
+        raise StatusError(Status.Invalid(
+            f"too many sequence slots ({nslots}) to pack (>= 2^15); "
+            f"raise min_match or shrink seg/block"))
     k1 = jnp.broadcast_to(
         jnp.arange(1, nslots + 1, dtype=jnp.int32)[None, :], starts.shape)
     w_start = lax.cummax(wire(s1), axis=1)
@@ -276,9 +281,20 @@ def compress_blocks_device(planes, lengths, *, seg: int = 512,
     planes = jnp.asarray(planes)
     n, L = planes.shape
     if L % 128:
-        raise ValueError("plane width must be lane-aligned")
+        raise StatusError(Status.Invalid("plane width must be lane-aligned"))
     nrows = L // 128
     mm = max_match if max_match is not None else min(seg, 512)
+    # Packing-width invariants (StatusError, not silent corruption): the
+    # emission layout carries match lengths in 11-bit fields (mlen/mv)
+    # and offsets in 16 bits.
+    if mm > 2047:
+        raise StatusError(Status.Invalid(
+            f"max_match {mm} overflows the 11-bit emission field (> 2047)"))
+    bad_off = [d for d in offsets if not (1 <= d <= 0xFFFF)]
+    if bad_off:
+        raise StatusError(Status.Invalid(
+            f"match offsets {bad_off[:4]} outside [1, 65535] (16-bit "
+            f"emission field / LZ4 distance)"))
     mlen, moff = find_matches(
         planes.reshape(n, nrows, 128), offsets=offsets, nrows=nrows,
         interpret=interpret, max_match=mm, emit_values=True)

@@ -97,3 +97,47 @@ def test_adler32_checksum_roundtrip():
         assert (unit.manifest.checksums != 0).any()
         assert eng.decompress(unit).tobytes() == data
         eng.recycle(unit)
+
+
+def test_device_matcher_slot_limit_rejected_at_config_time():
+    # materialize() packs the slot index in 15 bits; a config that would
+    # exceed it (e.g. 128 KiB blocks with min_match=4) must fail at
+    # validate(), not crash at compress time (advisor r3 medium).
+    import bitar_tpu as bt
+    from bitar_tpu.config import TPU_V5E, device_matcher_slots
+
+    bad = bt.EngineConfig(codec=bt.Codec.LZ4, block_size=128 * 1024,
+                          min_match=4, compress_matcher="device")
+    assert device_matcher_slots(bad.block_size, bad.min_match) >= 1 << 15
+    st = bad.validate(TPU_V5E)
+    assert not st.ok() and "slot" in st.message
+
+    ok = bad.replace(min_match=6)
+    assert ok.validate(TPU_V5E).ok()
+
+
+def test_device_matcher_offset_bounds_rejected():
+    import bitar_tpu as bt
+    from bitar_tpu.config import TPU_V5E
+
+    bad = bt.EngineConfig(codec=bt.Codec.LZ4, block_size=128 * 1024,
+                          compress_matcher="device",
+                          match_offsets=(1, 70000))
+    st = bad.validate(TPU_V5E)
+    assert not st.ok() and "65535" in st.message
+
+
+def test_compress_blocks_device_packing_invariants():
+    import numpy as np
+    import pytest as _pytest
+
+    from bitar_tpu.ops.device_compress import compress_blocks_device
+    from bitar_tpu.status import StatusError
+
+    planes = np.zeros((1, 16384), np.uint8)
+    lens = np.array([16384], np.int32)
+    with _pytest.raises(StatusError):
+        compress_blocks_device(planes, lens, max_match=4096, interpret=True)
+    with _pytest.raises(StatusError):
+        compress_blocks_device(planes, lens, offsets=(1, 1 << 17),
+                               interpret=True)

@@ -112,6 +112,46 @@ def test_corrupt_slot_after_table_build_is_named(rng):
         eng.recycle(unit)
 
 
+def test_table_path_validation_is_generation_cached(rng, monkeypatch):
+    # The table-path framing walk is O(bytes); repeat decompresses of
+    # untouched slots must skip it (generation-gated cache), while a slot
+    # rewritten afterwards still re-validates and is named.
+    import jax.numpy as jnp
+
+    from bitar_tpu.ops.cpu import native as native_mod
+
+    data = (b"cache the framing walk %d " % 3) * (8 * BLOCK // 26)
+    data = data[:8 * BLOCK]
+    c = cfg(use_tpu_kernels=True, interpret=True, checksum=bt.Checksum.NONE)
+    with bt.Engine(c) as eng:
+        unit = eng.compress(data)
+        eng.ensure_plans(unit)
+        assert unit.plan_flat is None and unit.tables is not None
+        out, status = eng.decompress_status(unit)
+        assert (status == 0).all()
+        # Second decompress: no parse_sequences calls (cache hit).
+        calls = []
+        real = native_mod.parse_sequences
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(native_mod, "parse_sequences", counting)
+        out, status = eng.decompress_status(unit)
+        assert (status == 0).all()
+        assert not calls, f"cached validation re-walked {len(calls)} blocks"
+        # Rewrite one slot: exactly that block re-validates and is named.
+        slot = unit.refs[2].slot
+        row = np.asarray(eng.arena.gather_burst([slot]))[0].copy()
+        row[0] ^= 0xFF
+        eng.arena.write_burst([slot], jnp.asarray(row[None]))
+        out, status = eng.decompress_status(unit)
+        assert status[2] < 0 and (status[np.arange(8) != 2] == 0).all()
+        assert len(calls) == 1, f"expected 1 re-walk, got {len(calls)}"
+        eng.recycle(unit)
+
+
 def test_mixed_codec_unit_splits_per_block(rng):
     # LZ4 + zstd blocks in ONE unit: every block rides the device kernel
     # (zstd via its entropy-decoded literal plane) — no host fallback.
