@@ -1,15 +1,13 @@
 """Multi-chip / multi-host parallel execution layer."""
 
 from . import multihost
-from .ring import distributed_step_ring, distributed_step_ring_flat
+from .ring import distributed_step_ring_flat
 from .pipeline import (
     distributed_step,
     distributed_step_flat,
-    distributed_step_planned,
     prepare_distributed_step,
     prepare_flat_wires_for_recv,
     prepare_ring_flat_wires_for_recv,
-    reorder_plans_for_recv,
     reorder_tables_for_recv,
 )
 from .sharding import (
@@ -28,11 +26,8 @@ __all__ = [
     "ShufflePlan",
     "distributed_step",
     "distributed_step_flat",
-    "distributed_step_planned",
-    "distributed_step_ring",
     "distributed_step_ring_flat",
     "execute_shuffle",
-    "reorder_plans_for_recv",
     "hash_partition",
     "make_mesh",
     "pad_block_count",

@@ -20,7 +20,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pallas import layout
 from ..ops.pallas.lz4_decode import decode_blocks
-from ..ops.pallas.lz4_decode_planned import decode_blocks_planned
 from .sharding import BLOCKS_AXIS, _TABLE_KEYS
 from .shuffle import ShufflePlan
 
@@ -93,69 +92,6 @@ def distributed_step(slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off,
         in_specs=(spec,) * 9, out_specs=spec,
         check_vma=False,
     )(slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off, mlen, out_pos)
-
-
-def reorder_plans_for_recv(plan: ShufflePlan, se: np.ndarray,
-                           shift: np.ndarray, p_used: np.ndarray
-                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Arrange per-block decode plans in post-shuffle receive order
-    (idle wire rows get p_used = 0 → the kernel skips them)."""
-    d, rpp = plan.num_devices, plan.rows_per_pair
-    n_wire = d * d * rpp
-    out_se = np.zeros((n_wire,) + se.shape[1:], np.int32)
-    out_shift = np.zeros((n_wire,) + shift.shape[1:], np.int32)
-    out_p = np.zeros(n_wire, np.int32)
-    flat = plan.recv_block.reshape(-1)
-    live = flat >= 0
-    idx = flat[live]
-    out_se[live] = se[idx]
-    out_shift[live] = shift[idx]
-    out_p[live] = p_used[idx]
-    return out_se, out_shift, out_p
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "rows_per_pair", "passes", "comp_rows",
-                     "block_size", "interpret"))
-def distributed_step_planned(slot_rows, send_idx, valid, p_used, se, shift, *,
-                             mesh: Mesh, rows_per_pair: int, passes: int,
-                             comp_rows: int, block_size: int,
-                             interpret: bool = False):
-    """Fused shuffle + plan-execute decode over the mesh (the fast-path
-    version of ``distributed_step``).
-
-    Args (leading dims sharded on the blocks axis):
-      slot_rows:    [nblocks, slot] uint8 compressed slot rows (pre-shuffle)
-      send_idx/valid: [D, 1, D*rpp] staging metadata per source shard
-      p_used/se/shift: [D * D*rpp, ...] decode plans in RECEIVE order
-                       (see ``reorder_plans_for_recv``)
-    Returns [D * D*rpp, block_size] uint8, sharded by destination.
-    """
-    d = mesh.devices.size
-    slot = slot_rows.shape[1]
-    nrows = block_size // 128
-
-    def local(rows_l, send_idx_l, valid_l, p_l, se_l, shift_l):
-        staged = rows_l[send_idx_l[0, 0]] * valid_l[0, 0][:, None].astype(rows_l.dtype)
-        staged = staged.reshape(d, rows_per_pair, slot)
-        recv = jax.lax.all_to_all(staged, BLOCKS_AXIS, split_axis=0,
-                                  concat_axis=0)
-        recv = recv.reshape(d * rows_per_pair, slot)
-        planes = recv[:, :comp_rows * 128].reshape(
-            d * rows_per_pair, comp_rows, 128)
-        decoded = decode_blocks_planned(
-            planes, p_l, se_l, shift_l,
-            passes=passes, comp_rows=comp_rows, out_rows=nrows,
-            interpret=interpret)
-        return decoded.reshape(d * rows_per_pair, block_size)
-
-    spec = P(BLOCKS_AXIS)
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(spec,) * 6, out_specs=spec,
-        check_vma=False,
-    )(slot_rows, send_idx, valid, p_used, se, shift)
 
 
 def prepare_distributed_step(mesh: Mesh, plan: ShufflePlan,

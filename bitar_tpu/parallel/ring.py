@@ -1,7 +1,7 @@
 """Ring-pipelined shuffle+decode: per-peer ppermute rounds with decode
 overlapping exchange.
 
-``distributed_step_planned`` (pipeline.py) issues ONE ``all_to_all`` and
+``distributed_step_flat`` (pipeline.py) issues ONE ``all_to_all`` and
 then decodes everything it received — XLA may overlap the tail of the
 exchange with the head of the decode, but the program gives it a single
 monolithic collective to work with.  This variant lifts the reference's
@@ -18,9 +18,11 @@ collective permute).  On the virtual CPU mesh the schedule serializes —
 tests assert bit-exactness against the fused all_to_all step; the
 overlap itself is a hardware property to be profiled on a pod slice.
 
-Wire layout matches ``distributed_step_planned`` exactly (same staging
-metadata, same receive-order plans, same output order), so the two are
-drop-in interchangeable.
+Wire layout matches ``distributed_step_flat`` exactly (same staging
+metadata, per-(dst, src)-chunk flat wires from
+``prepare_ring_flat_wires_for_recv``, same output order), so the two are
+drop-in interchangeable.  Both run the ONE production decode kernel
+(``decode_blocks_flat``).
 """
 
 from __future__ import annotations
@@ -32,87 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.pallas.lz4_decode_planned import decode_blocks_planned
 from .sharding import BLOCKS_AXIS
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "rows_per_pair", "passes", "comp_rows",
-                     "block_size", "interpret"))
-def distributed_step_ring(slot_rows, send_idx, valid, p_used, se, shift, *,
-                          mesh: Mesh, rows_per_pair: int, passes: int,
-                          comp_rows: int, block_size: int,
-                          interpret: bool = False):
-    """Ring-pipelined shuffle + plan-execute decode over the mesh.
-
-    Args and result exactly as ``distributed_step_planned``:
-      slot_rows:    [nblocks, slot] uint8 compressed slot rows (pre-shuffle)
-      send_idx/valid: [D, 1, D*rpp] staging metadata per source shard
-      p_used/se/shift: [D * D*rpp, ...] decode plans in RECEIVE order
-    Returns [D * D*rpp, block_size] uint8, sharded by destination.
-    """
-    d = mesh.devices.size
-    rpp = rows_per_pair
-    slot = slot_rows.shape[1]
-    nrows = block_size // 128
-
-    def decode_chunk(rows_chunk, p_c, se_c, shift_c):
-        planes = rows_chunk[:, :comp_rows * 128].reshape(rpp, comp_rows, 128)
-        out = decode_blocks_planned(
-            planes, p_c, se_c, shift_c, passes=passes, comp_rows=comp_rows,
-            out_rows=nrows, interpret=interpret)
-        return out.reshape(rpp, block_size)
-
-    def local(rows_l, send_idx_l, valid_l, p_l, se_l, shift_l):
-        me = lax.axis_index(BLOCKS_AXIS)
-        staged = rows_l[send_idx_l[0, 0]] * valid_l[0, 0][:, None].astype(
-            rows_l.dtype)
-        staged = staged.reshape(d, rpp, slot)
-        # Local plans arrive in receive order: src-major [d, rpp, ...].
-        p_l = p_l.reshape(d, rpp)
-        se_l = se_l.reshape((d, rpp) + se_l.shape[1:])
-        shift_l = shift_l.reshape((d, rpp) + shift_l.shape[1:])
-
-        outs = [None] * d
-
-        def take(arr, idx):
-            return lax.dynamic_index_in_dim(arr, idx, axis=0, keepdims=False)
-
-        # Round 0: the chunk we keep (src == dst == me).
-        outs_src0 = decode_chunk(take(staged, me), take(p_l, me),
-                                 take(se_l, me), take(shift_l, me))
-        # Rounds 1..d-1: send chunk for peer (me+r) while decoding what
-        # landed in round r-1.  Emitting all permutes + decodes with no
-        # cross dependencies lets the scheduler overlap them.
-        recvs = []
-        for r in range(1, d):
-            perm = [(i, (i + r) % d) for i in range(d)]
-            send_chunk = take(staged, (me + r) % d)
-            recvs.append((r, lax.ppermute(send_chunk, BLOCKS_AXIS, perm)))
-        decoded = {0: outs_src0}
-        for r, recv in recvs:
-            src = (me - r) % d
-            decoded[r] = decode_chunk(recv, take(p_l, src),
-                                      take(se_l, src), take(shift_l, src))
-
-        # Assemble in src order: position src holds the chunk from src =
-        # (me - r) % d, i.e. round r lands at row index src.  Scatter by
-        # dynamic update (src is traced through `me`).
-        out = jnp.zeros((d, rpp, block_size), jnp.uint8)
-        out = lax.dynamic_update_index_in_dim(out, decoded[0], me, axis=0)
-        for r, _ in recvs:
-            src = (me - r) % d
-            out = lax.dynamic_update_index_in_dim(out, decoded[r], src,
-                                                  axis=0)
-        return out.reshape(d * rpp, block_size)
-
-    spec = P(BLOCKS_AXIS)
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(spec,) * 6, out_specs=spec,
-        check_vma=False,
-    )(slot_rows, send_idx, valid, p_used, se, shift)
 
 
 @functools.partial(

@@ -1,145 +1,23 @@
-"""Fused shuffle + plan-execute decode over the 8-way virtual mesh."""
+"""Fused shuffle + FLAT-plan decode over the 8-way virtual mesh.
+
+The production decode path (``decode_blocks_flat``) is the ONE decode
+semantics at pod level (round-3 consolidation): the fused all_to_all step
+and the ring-pipelined step both execute it; ``lz4_decode_planned`` is a
+test-only oracle now (see test_planned_decode.py).
+"""
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from bitar_tpu.ops.cpu import native
-from bitar_tpu.ops.pallas.lz4_decode_planned import pack_plan
 from bitar_tpu.parallel import (
-    BLOCKS_AXIS,
-    distributed_step_planned,
-    distributed_step_ring,
     make_mesh,
     plan_shuffle,
-    reorder_plans_for_recv,
 )
 
 BLOCK = 16 * 1024
 NROWS = BLOCK // 128
-
-
-def test_fused_planned_step_bit_exact(rng):
-    d = 8
-    nblocks = 16
-    mesh = make_mesh(d)
-
-    datas = []
-    for i in range(nblocks):
-        k = i % 3
-        if k == 0:
-            datas.append(((b"dist planned %d " % i) * (BLOCK // 14 + 1))[:BLOCK])
-        elif k == 1:
-            datas.append(rng.integers(0, 8, BLOCK, dtype=np.uint8).tobytes())
-        else:
-            datas.append(bytes([i]) * BLOCK)
-    comps = [np.asarray(native.lz4_compress(x)) for x in datas]
-
-    # decode plans per block
-    plans = [native.plan_block(c, BLOCK, NROWS, max_passes=96, codec="lz4")
-             for c in comps]
-    assert all(p[0] is not None for p in plans)
-    passes = max(4, -(-max(p[0] for p in plans) // 4) * 4)
-    comp_rows = -(-max(len(c) for c in comps) // 128)
-    comp_rows = -(-comp_rows // 32) * 32
-    se = np.zeros((nblocks, passes, NROWS), np.int32)
-    shift = np.zeros_like(se)
-    p_used = np.zeros(nblocks, np.int32)
-    for i, (Pn, p0, cols) in enumerate(plans):
-        se_i, sh_i = pack_plan(cols["r_dstart"][:Pn], cols["r_dend"][:Pn],
-                               cols["r_shift"][:Pn], p0, passes, comp_rows)
-        se[i], shift[i], p_used[i] = se_i, sh_i, Pn
-
-    # shuffle plan + slot rows
-    slot = comp_rows * 128
-    sizes = np.array([len(c) for c in comps], np.int64)
-    splan = plan_shuffle(nblocks, d, sizes=sizes)
-    rows = np.zeros((nblocks, slot), np.uint8)
-    for i, c in enumerate(comps):
-        rows[i, :len(c)] = c
-
-    rse, rshift, rp = reorder_plans_for_recv(splan, se, shift, p_used)
-    sharding = NamedSharding(mesh, P(BLOCKS_AXIS))
-    dev = lambda a: jax.device_put(jnp.asarray(a))  # noqa: E731
-    per_src = nblocks // d
-    out = distributed_step_planned(
-        dev(rows),
-        dev((splan.send_order % max(1, per_src)).reshape(d, 1, -1).astype(np.int32)),
-        dev((splan.send_order >= 0).reshape(d, 1, -1)),
-        dev(rp),
-        dev(rse.reshape(-1, passes, NROWS // 128, 128)),
-        dev(rshift.reshape(-1, passes, NROWS // 128, 128)),
-        mesh=mesh, rows_per_pair=splan.rows_per_pair, passes=passes,
-        comp_rows=comp_rows, block_size=BLOCK, interpret=True)
-    out = np.asarray(out)
-
-    flat = splan.recv_block.reshape(-1)
-    checked = 0
-    for pos, b in enumerate(flat):
-        if b >= 0:
-            assert out[pos].tobytes() == datas[b], f"block {b} at pos {pos}"
-            checked += 1
-    assert checked == nblocks
-    _ = sharding
-
-
-def test_ring_step_matches_fused_all_to_all(rng):
-    # The ppermute-ring variant (exchange overlapped with decode) must be
-    # bit-identical to the single-all_to_all fused step.
-    d = 8
-    nblocks = 16
-    mesh = make_mesh(d)
-    datas = []
-    for i in range(nblocks):
-        k = i % 3
-        if k == 0:
-            datas.append(((b"ring %d " % i) * (BLOCK // 6 + 1))[:BLOCK])
-        elif k == 1:
-            datas.append(rng.integers(0, 8, BLOCK, dtype=np.uint8).tobytes())
-        else:
-            datas.append(bytes([i]) * BLOCK)
-    comps = [np.asarray(native.lz4_compress(x)) for x in datas]
-    plans = [native.plan_block(c, BLOCK, NROWS, max_passes=96, codec="lz4")
-             for c in comps]
-    assert all(p[0] is not None for p in plans)
-    passes = max(4, -(-max(p[0] for p in plans) // 4) * 4)
-    comp_rows = -(-max(len(c) for c in comps) // 128)
-    comp_rows = -(-comp_rows // 32) * 32
-    se = np.zeros((nblocks, passes, NROWS), np.int32)
-    shift = np.zeros_like(se)
-    p_used = np.zeros(nblocks, np.int32)
-    for i, (Pn, p0, cols) in enumerate(plans):
-        se_i, sh_i = pack_plan(cols["r_dstart"][:Pn], cols["r_dend"][:Pn],
-                               cols["r_shift"][:Pn], p0, passes, comp_rows)
-        se[i], shift[i], p_used[i] = se_i, sh_i, Pn
-    slot = comp_rows * 128
-    sizes = np.array([len(c) for c in comps], np.int64)
-    splan = plan_shuffle(nblocks, d, sizes=sizes)
-    rows = np.zeros((nblocks, slot), np.uint8)
-    for i, c in enumerate(comps):
-        rows[i, :len(c)] = c
-    rse, rshift, rp = reorder_plans_for_recv(splan, se, shift, p_used)
-    per_src = nblocks // d
-    args = (
-        jnp.asarray(rows),
-        jnp.asarray((splan.send_order % max(1, per_src)).reshape(d, 1, -1).astype(np.int32)),
-        jnp.asarray((splan.send_order >= 0).reshape(d, 1, -1)),
-        jnp.asarray(rp),
-        jnp.asarray(rse.reshape(-1, passes, NROWS // 128, 128)),
-        jnp.asarray(rshift.reshape(-1, passes, NROWS // 128, 128)),
-    )
-    kwargs = dict(mesh=mesh, rows_per_pair=splan.rows_per_pair, passes=passes,
-                  comp_rows=comp_rows, block_size=BLOCK, interpret=True)
-    fused = np.asarray(distributed_step_planned(*args, **kwargs))
-    ring = np.asarray(distributed_step_ring(*args, **kwargs))
-    assert (fused == ring).all()
-    # and both are the right bytes
-    flat = splan.recv_block.reshape(-1)
-    for pos, b in enumerate(flat):
-        if b >= 0:
-            assert ring[pos].tobytes() == datas[b], f"block {b} at {pos}"
 
 
 def test_ring_flat_step_matches_fused(rng):

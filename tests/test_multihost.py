@@ -32,5 +32,8 @@ def test_two_process_fused_step_scaling():
     assert artifact["multi"]["devices"] == 8
     # every staged block was received and verified by exactly one process
     assert artifact["multi"]["verified_blocks"] >= 1
-    assert artifact["single"]["verified_blocks"] == 16
+    # weak-scaling baseline: blocks/N on a 1/N mesh (equal per-device
+    # grids, so the efficiency number can see regressions)
+    assert artifact["single"]["verified_blocks"] == 8
+    assert artifact["single"]["blocks"] == 8
     assert artifact["scaling_efficiency"] > 0
