@@ -133,8 +133,10 @@ def main() -> int:
     print(f"bench: backend={backend} device={eng.device} "
           f"bytes={len(data):,}", file=sys.stderr)
 
-    # --- compress phase (host matcher + plan build + device staging),
-    # best of 3 like the reference's kNumTests.
+    # --- compress phase (host matcher + device staging), best of 3 like
+    # the reference's kNumTests.  commit="deferred" is the headline
+    # (reference contract); one eager-commit run is also reported so
+    # cross-round comparisons stay honest (the upload cost is visible).
     comp_best = float("inf")
     unit = None
     for run in range(3):
@@ -147,9 +149,21 @@ def main() -> int:
         comp_best = min(comp_best, dt)
         print(f"bench: compress run {run}: {dt * 1e3:.1f} ms "
               f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
+
+    # --- COLD one-shot decompress: fresh unit, nothing prepared — the
+    # number the reference's µs-scale op assembly implies is free.
+    # Includes plan build, arena commit, kernel launch, and the sync.
     t0 = time.perf_counter()
     eng.ensure_plans(unit)
     plan_ms = (time.perf_counter() - t0) * 1e3
+    cold_launch = eng.prepare_device_decode(unit)
+    oc = cold_launch()
+    np.asarray(oc[0, 0, :1])
+    cold_dt = time.perf_counter() - t0
+    cold_gbps = len(data) / cold_dt / 1e9
+    print(f"bench: COLD decompress {cold_dt * 1e3:.1f} ms "
+          f"({cold_gbps:.3f} GB/s; plan_build={plan_ms:.1f}ms)",
+          file=sys.stderr)
     pf = unit.plan_flat
     dn = pf["dense"] if pf is not None else None
     print(f"bench: ratio={unit.manifest.ratio():.3f} blocks={unit.nblocks} "
@@ -164,6 +178,27 @@ def main() -> int:
     out = eng.decompress(unit)
     assert out.tobytes() == data, "round-trip not bit-exact"
     print("bench: engine round-trip verified bit-exact", file=sys.stderr)
+
+    # --- eager-commit compress (ADVICE r3: keep eager and deferred both
+    # in the record; the two differ by the arena-upload placement).
+    comp_eager = None
+    try:
+        eeng = bt.Engine(cfg.replace(commit="eager")).initialize()
+        best = float("inf")
+        eunit = None
+        for _ in range(2):
+            if eunit is not None:
+                eeng.recycle(eunit)
+            t0 = time.perf_counter()
+            eunit = eeng.compress(data)
+            best = min(best, time.perf_counter() - t0)
+        comp_eager = len(data) / best / 1e9
+        print(f"bench: eager-commit compress {best * 1e3:.1f} ms "
+              f"({comp_eager:.3f} GB/s)", file=sys.stderr)
+        eeng.recycle(eunit)
+        eeng.release()
+    except Exception as e:                             # secondary metric only
+        print(f"bench: eager compress skipped: {e}", file=sys.stderr)
 
     # --- decompress phase: REPS chained whole-batch kernel launches on
     # device-committed inputs, one tiny readback sync (launches pipeline;
@@ -262,43 +297,51 @@ def main() -> int:
     except Exception as e:                             # secondary metric only
         print(f"bench: text phase skipped: {e}", file=sys.stderr)
 
-    # --- secondary: FULL-OFFLOAD device compression (match + parse +
-    # emission on chip, ops/device_compress.py), measured like decode:
-    # device-resident planes, chained launches, tiny sync.  Fixed 64-
-    # block launches keep the Mosaic/XLA compile cached across runs.
-    dev_comp = None
+    # --- secondary: FULL-OFFLOAD device compression — detect + match +
+    # parse + emit fused into ONE dispatch per launch
+    # (ops/device_compress.py), measured like decode: device-resident
+    # planes, chained launches, tiny sync.  256-block launches amortize
+    # the ~3-4 ms tunnel dispatch floor; seg=1024 + OW=2048 is the
+    # measured operating point (r4: 28.3 ms / 33.5 MB = 1.19 GB/s).
+    dev_comp = dev_ratio = None
     if on_tpu:
         try:
             from bitar_tpu.ops.device_compress import compress_blocks_device
-            nd = min(64, NBLOCKS)
+            nd = min(256, NBLOCKS)
+            dseg, dow = 1024, 2048
             planes = np.frombuffer(data[:nd * BLOCK], np.uint8).reshape(
                 nd, BLOCK)
             dplanes = jax.device_put(planes)
             dlen = jax.device_put(np.full(nd, BLOCK, np.int32))
             np.asarray(dplanes[0, :1])
-            out, sizes = compress_blocks_device(dplanes, dlen, seg=512,
-                                                min_match=6, out_width=BLOCK)
+            out, sizes = compress_blocks_device(dplanes, dlen, seg=dseg,
+                                                min_match=6, out_width=dow)
             szs = np.asarray(sizes)
             host = np.asarray(out)
             import bitar_tpu.ops.cpu.native as _native
+            comp_total = 0
             for i in range(nd):                     # correctness gate
-                if szs[i] >= BLOCK:
+                if szs[i] >= BLOCK or szs[i] > dow:  # RAW-fallback contract
+                    comp_total += BLOCK
                     continue
                 dec = np.asarray(_native.lz4_decompress(host[i, :szs[i]], BLOCK))
                 assert dec.tobytes() == planes[i].tobytes(), f"devcomp blk {i}"
+                comp_total += int(szs[i])
+            dev_ratio = nd * BLOCK / comp_total
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 last = None
                 for _ in range(REPS):
                     last = compress_blocks_device(
-                        dplanes, dlen, seg=512, min_match=6, out_width=BLOCK)
+                        dplanes, dlen, seg=dseg, min_match=6, out_width=dow)
                 np.asarray(last[0].reshape(-1)[:1])
                 np.asarray(last[1][:1])
                 best = min(best, (time.perf_counter() - t0) / REPS)
             dev_comp = nd * BLOCK / best / 1e9
             print(f"bench: device-offload compress {best*1e3:.2f} ms/launch "
-                  f"({dev_comp:.3f} GB/s, {nd} blocks, XLA emission)",
+                  f"({dev_comp:.3f} GB/s, {nd} blocks, ratio "
+                  f"{dev_ratio:.3f}, fused detect+match+parse+emit)",
                   file=sys.stderr)
         except Exception as e:                       # secondary metric only
             print(f"bench: device-compress phase skipped: {e}", file=sys.stderr)
@@ -312,11 +355,15 @@ def main() -> int:
         "unit": "GB/s",
         "vs_baseline": round(dec_gbps / NORTH_STAR_GBPS, 4),
         "compress_GBps": round(comp_gbps, 4),
+        "compress_eager_GBps": round(comp_eager, 4) if comp_eager else None,
         "combined_GBps": round(combined, 4),
+        "decompress_cold_GBps": round(cold_gbps, 4),
+        "plan_build_ms": round(plan_ms, 1),
         "zstd_decompress_GBps": round(zstd_dec, 4) if zstd_dec else None,
         "zstd_compress_GBps": round(zstd_comp, 4) if zstd_comp else None,
         "text_decompress_GBps": round(text_dec, 4) if text_dec else None,
         "device_offload_compress_GBps": round(dev_comp, 4) if dev_comp else None,
+        "device_offload_ratio": round(dev_ratio, 4) if dev_ratio else None,
     }))
     return 0
 

@@ -163,19 +163,21 @@ MIN_POOL_SLOTS = 20              # reference kMinPreallocateMemzones (memory.h:5
 # Parse segment for the full-offload (device matcher) compress path: also
 # the on-device match-length cap.  512 keeps RLE ratios useful while the
 # parse scan stays at seg/min_match steps (see ops/device_compress.py).
-DEVICE_PARSE_SEG = 512
+DEVICE_PARSE_SEG = 1024
 
 
 def device_matcher_slots(block_size: int, min_match: int,
-                         seg: int = DEVICE_PARSE_SEG) -> int:
+                         seg: int = DEVICE_PARSE_SEG, wcap: int = 8) -> int:
     """Sequence-slot count of the device-offload emission layout.
 
     ``materialize`` packs the slot index into a 15-bit scan key, so
     nseg*nstep + 1 must stay < 2**15; validated at config time so a
-    validated config can never hit the packing limit at compress time."""
+    validated config can never hit the packing limit at compress time.
+    The detector-driven parse caps sequences per segment at ``wcap``
+    (overflowing blocks store RAW), so nstep = min(wcap, worst case)."""
     seg = min(seg, block_size)
     nseg = -(-block_size // seg)
-    nstep = seg // min_match + 1
+    nstep = min(wcap, seg // min_match + 1)
     return nseg * nstep + 1
 
 

@@ -478,8 +478,8 @@ class Engine:
         exceed the emission width) store RAW from the same device-
         resident planes — the incompressible escape (``config.cc:60-73``)
         without a host round-trip."""
-        from ..ops.device_compress import compress_blocks_device
-        from ..ops.pallas.lz4_match import DEFAULT_OFFSETS
+        from ..ops.device_compress import (lz4_bound, match_parse_device,
+                                           materialize)
 
         cfg = self.config
         n, L = manifest.nblocks, cfg.block_size
@@ -488,12 +488,12 @@ class Engine:
             o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
             planes[i, :ln] = raw[o:o + ln]
         dplanes = jnp.asarray(planes)                   # ingest
-        out, sizes = compress_blocks_device(
+        layout = match_parse_device(
             dplanes, manifest.raw_len.astype(np.int32),
             seg=min(self._DEVICE_SEG, L), min_match=cfg.min_match,
-            offsets=tuple(cfg.match_offsets) or DEFAULT_OFFSETS,
-            out_width=L, interpret=cfg.interpret)
-        szs = np.asarray(sizes)                         # tiny readback
+            offsets=tuple(cfg.match_offsets) or None,
+            interpret=cfg.interpret)
+        szs = np.asarray(layout["total"])               # tiny readback
         fallback = szs >= manifest.raw_len
         dst_len = np.where(fallback, manifest.raw_len, szs).astype(np.int32)
         cids = np.where(fallback, _RAW_ID,
@@ -501,11 +501,30 @@ class Engine:
         refs = self.arena.take_refs([int(x) for x in dst_len],
                                     [int(c) for c in cids])
         try:
-            rows = _select_comp_rows(out, dplanes, jnp.asarray(fallback))
-            for s in range(0, n, cfg.burst_size):
-                e = min(n, s + cfg.burst_size)
-                self.arena.write_burst([r.slot for r in refs[s:e]],
-                                       rows[s:e])
+            good = np.flatnonzero(~fallback)
+            bad = np.flatnonzero(fallback)
+            if good.size:
+                # Emission plane sized to the largest COMPRESSIBLE block
+                # (pow-2 quantized so the kernel shape is shared):
+                # emission cost scales with compressed bytes, not the
+                # worst-case LZ4 bound — the round-3 materialize spent
+                # its 150 ms computing a 132 KiB plane per block that
+                # typically carries ~2 KiB.
+                wmax = int(szs[good].max(initial=128))
+                width = 128 << max(0, (-(-wmax // 128) - 1).bit_length())
+                width = min(width, -(-lz4_bound(L) // 128) * 128)
+                out = materialize(dplanes, layout, out_width=width)
+                rows = out[jnp.asarray(good)]
+                for s in range(0, good.size, cfg.burst_size):
+                    e = min(good.size, s + cfg.burst_size)
+                    self.arena.write_burst(
+                        [refs[int(i)].slot for i in good[s:e]], rows[s:e])
+            if bad.size:
+                rows = dplanes[jnp.asarray(bad)]        # device-side RAW
+                for s in range(0, bad.size, cfg.burst_size):
+                    e = min(bad.size, s + cfg.burst_size)
+                    self.arena.write_burst(
+                        [refs[int(i)].slot for i in bad[s:e]], rows[s:e])
         except Exception:
             self.arena.recycle(refs)
             raise
@@ -1301,15 +1320,6 @@ def _expand_planes(rows_u8: jax.Array, comp_rows: int) -> jax.Array:
     n = rows_u8.shape[0]
     planes = rows_u8.astype(jnp.int32).reshape(n, comp_rows, 128)
     return jnp.pad(planes, ((0, 0), (0, layout.GUARD_ROWS), (0, 0)))
-
-
-@jax.jit
-def _select_comp_rows(out: jax.Array, planes: jax.Array,
-                      fallback: jax.Array) -> jax.Array:
-    """Per-block slot rows for the full-offload compress path: emitted
-    LZ4 bytes, or the raw plane for incompressible blocks (device-side
-    RAW escape)."""
-    return jnp.where(fallback[:, None], planes, out)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))

@@ -224,6 +224,11 @@ int bt_plan_frags(int codec, const uint8_t* src, int src_len, int out_len,
 /* Tune the planner's comp-resolution split limit (default 2). */
 void bt_set_split_limit(int v);
 
+/* Planner phase profile: out_ns[6] <- accumulated nanoseconds per phase
+ * ([0]=parse [1]=build [2]=densify [3]=schedule [4]=emit-wire [5]=pack,
+ * summed across worker threads); reset != 0 zeroes the accumulators. */
+void bt_plan_prof_get(int64_t* out_ns, int reset);
+
 /* Library version for the ctypes loader to sanity-check. */
 int bt_abi_version(void);
 

@@ -513,6 +513,19 @@ def plan_batch_abort(ctx) -> None:
     load().bt_plan_batch_abort(ctx)
 
 
+def plan_prof(reset: bool = True) -> dict[str, float]:
+    """Planner phase profile in milliseconds (thread-summed) since the
+    last reset: parse/build/densify/schedule/emit/pack."""
+    lib = load()
+    lib.bt_plan_prof_get.argtypes = [ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.c_int]
+    lib.bt_plan_prof_get.restype = None
+    buf = (ctypes.c_int64 * 6)()
+    lib.bt_plan_prof_get(buf, 1 if reset else 0)
+    keys = ("parse", "build", "densify", "schedule", "emit", "pack")
+    return {k: buf[i] / 1e6 for i, k in enumerate(keys)}
+
+
 def batch_run(compress: bool, codec: str, src: np.ndarray, src_off: np.ndarray,
               src_len: np.ndarray, dst: np.ndarray, dst_off: np.ndarray,
               dst_cap: np.ndarray, nthreads: int = 0,

@@ -30,6 +30,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstring>
 #include <functional>
 #include <memory>
@@ -39,6 +40,24 @@
 namespace {
 
 thread_local int g_split_limit = 2;  // per-thread: see bt_plan_rows' split_limit arg
+
+// Phase profiling accumulators (ns, summed across worker threads):
+// [0]=parse [1]=build [2]=densify [3]=schedule [4]=emit-wire [5]=pack.
+// Cheap enough to keep always-on; read/reset via bt_plan_prof_get.
+std::atomic<int64_t> g_prof[6];
+
+struct ProfScope {
+  int idx;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfScope(int i) : idx(i), t0(std::chrono::steady_clock::now()) {}
+  ~ProfScope() {
+    g_prof[idx].fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(
+            std::chrono::steady_clock::now() - t0)
+            .count(),
+        std::memory_order_relaxed);
+  }
+};
 
 inline int32_t Gcd(int32_t a, int32_t b) {
   while (b != 0) {
@@ -716,6 +735,17 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
 
 void bt_set_split_limit(int v) { g_split_limit = v < 1 ? 1 : v; }
 
+// Planner phase profile: copies the accumulated per-phase nanoseconds
+// ([0]=parse [1]=build [2]=densify [3]=schedule [4]=emit-wire [5]=pack,
+// summed over worker threads) into `out_ns[6]`, resetting when
+// reset != 0.
+void bt_plan_prof_get(int64_t* out_ns, int reset) {
+  for (int i = 0; i < 6; ++i) {
+    out_ns[i] = g_prof[i].load(std::memory_order_relaxed);
+    if (reset != 0) g_prof[i].store(0, std::memory_order_relaxed);
+  }
+}
+
 }  // extern "C"
 
 namespace {
@@ -773,6 +803,8 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   int32_t* mlenv = offv + max_seq;
   int32_t* out_posv = mlenv + max_seq;
   int nseq;
+  {
+  ProfScope prof_parse(0);
   if (codec == BT_CODEC_ZSTD) {
     // Entropy-decode literals to the caller's plane; the sequence table
     // references THAT plane ("comp space" = decoded literals), so zstd
@@ -788,6 +820,7 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
                : bt_snappy_parse(src, src_len, max_seq, lit_ptr, lit_len,
                                  offv, mlenv, out_posv);
   }
+  }
   if (nseq < 0) return nseq;
 
   // Leave pass head-room for the cb padding of both phases.
@@ -798,8 +831,12 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   g_split_limit = split_limit < 1 ? 1 : split_limit;
   Planner planner;
   const int max_frags = nrows * budget + 64;
-  const bool built =
-      planner.Build(nseq, lit_ptr, lit_len, offv, mlenv, out_posv, max_frags);
+  bool built;
+  {
+    ProfScope prof_build(1);
+    built = planner.Build(nseq, lit_ptr, lit_len, offv, mlenv, out_posv,
+                          max_frags);
+  }
   g_split_limit = saved_split;
   if (!built) return BT_ERR_CAPACITY;
 
@@ -810,16 +847,23 @@ int PlanOneFlat(int codec, const uint8_t* src, int src_len, int out_len,
   }
   if (covered != out_len) return BT_ERR_IO;
 
-  planner.Densify(nrows, dq, row_a, dense_out);
+  {
+    ProfScope prof_densify(2);
+    planner.Densify(nrows, dq, row_a, dense_out);
+  }
 
   int p0 = 0;
-  const int total = planner.Schedule(nrows, budget, &p0, band_rows,
-                                     band_tile);
+  int total;
+  {
+    ProfScope prof_schedule(3);
+    total = planner.Schedule(nrows, budget, &p0, band_rows, band_tile);
+  }
   if (total < 0) return BT_ERR_CAPACITY;
 
   const int p0_pad = pad(p0);
   const int total_pad = p0_pad + pad(total - p0);
   if (total_pad > max_passes) return BT_ERR_CAPACITY;
+  ProfScope prof_emit(4);
   se_v->assign(static_cast<size_t>(total_pad) * nrows, 0);
   shift_v->assign(static_cast<size_t>(total_pad) * nrows, 0);
   int16_t* se = se_v->data();
@@ -958,6 +1002,7 @@ void bt_plan_batch_pack(void* ctx_ptr, int nthreads, const int64_t* p_off,
   const int nrows = ctx->nrows;
   BtPlanCtx* c_ = ctx.get();
   RunWorkers(nthreads, nblocks, [&, c_](int i) {
+    ProfScope prof_pack(5);
     const std::vector<int16_t>& se_i = c_->se[i];
     if (se_i.empty()) return;
     const size_t base = static_cast<size_t>(p_off[i]) * nrows;

@@ -1,30 +1,32 @@
-"""Device-side LZ4 block compression: parallel parse + byte emission.
+"""Device-side LZ4 block compression: detect + match + parse + emit.
 
-Completes the on-device compression pipeline.  The Pallas matcher
-(``ops/pallas/lz4_match.py``) scores a match at every byte position; this
-module turns those per-position ``(length, offset)`` hints into a
-standard LZ4 block byte stream *without leaving the device*:
+Completes the on-device compression pipeline, rebuilt in round 4 around
+three measured facts: a ~3-4 ms dispatch floor per launch (fuse stages
+into ONE executable), XLA scatter/gather at ~5-11 ns per ELEMENT (size
+every scatter by real content, not worst cases), and a data-derived
+offset set beating any static candidate tuple (the old matcher scored
+the bench text class at ratio 1.00; the detector scores it ~98x).
 
-1. **Segment-local greedy parse.**  Each block splits into ``seg``-byte
-   segments; matches are truncated at segment boundaries, so every
-   segment parses independently.  The parse itself is a short
-   ``lax.scan``: the cursor jumps straight to the next valid match (a
-   reverse cumulative min precomputes ``next_match_pos``), so at most
-   ``seg // min_match + 1`` steps cover a segment — each step is three
-   tiny batched gathers, not a byte-at-a-time walk.
-2. **Global sequence assembly.**  Flattened ``(segment, step)`` records
-   are position-ordered by construction; a cumulative max of match ends
-   yields every sequence's literal run, closed-form LZ4 sizes (token +
-   extension bytes + literals + offset) feed an exclusive scan for the
-   output layout.  Literal runs spanning segment boundaries merge
-   naturally because literals are *derived* (gaps between matches), not
-   parsed.
-3. **Byte materialization (gather-pull).**  Every output byte finds its
-   sequence by binary search over the start offsets and computes itself
-   branchlessly: token, length-extension bytes, a literal gather from
-   the raw plane, or an offset byte.  A pull formulation — one gather
-   per output byte — is the TPU-friendly shape; there are no scatters
-   anywhere in the pipeline.
+1. **Offset detection** (``ops/pallas/lz4_match_dyn.detect_offsets``,
+   XLA): strided 4-byte sample sort -> per-block top-K repeated deltas,
+   halving-refined to the true period.  Blocks with no repeats skip
+   match scoring entirely.
+2. **Dynamic-offset match scoring** (Pallas): each block loops over its
+   own detected offsets; capped log-doubling gives byte-true run
+   lengths.
+3. **Segment-local greedy parse** (XLA): matches truncate at ``seg``
+   boundaries so segments parse independently; an early-exit
+   ``lax.while_loop`` jumps the cursor match-to-match (segmented
+   reverse-cummin precomputes ``next_match_pos``).  Slot arrays are
+   sized ``wcap`` (not the worst case) — a segment overflowing its
+   budget forces the block's RAW fallback instead of a bigger wire.
+4. **Byte materialization** (XLA): per-slot fields scatter once at each
+   sequence's output start (cost = slots, hence ``wcap``), packed into
+   THREE monotone-key words for small emission widths; native cummax
+   propagates them to every byte, header bytes compute branchlessly,
+   and only the literal payload gathers from the raw plane.  The
+   emission width is the caller's: sized to the compressible blocks'
+   real totals (adaptive mode), not the LZ4 worst-case bound.
 
 The emitted stream is byte-level standard LZ4 (decodable by any LZ4
 block decoder; round-trip tests verify against the host codec) and
@@ -34,7 +36,7 @@ no match starts within the last 12 bytes.
 Reference contrast: bitar ships raw bytes to the DPU DEFLATE engine and
 receives compressed frames (``src/device.cc:157-238``) — compression is
 offloaded, full stop.  This module is what full offload means on a TPU:
-match search (Pallas), parse, and emission all execute on device; the
+detection, match search, parse, and emission all execute on device; the
 host only supplies raw planes and reads back ``(bytes, sizes)``.
 """
 
@@ -63,9 +65,10 @@ def _ext_bytes(v):
     return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "min_match", "length"))
+@functools.partial(jax.jit, static_argnames=("seg", "min_match", "length",
+                                              "wcap"))
 def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
-                   length: int):
+                   length: int, wcap: int | None = 8):
     """Greedy-parse match hints into LZ4 sequences and size the output.
 
     Args:
@@ -77,6 +80,16 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
       seg:     segment size (static); matches never cross a boundary.
       min_match: shortest match worth emitting (>= 4).
       length:  L, the padded block length (static).
+      wcap:    max sequences per segment (static).  The slot-array size
+               (nseg * wcap) is the UNIT of cost for the emission-wire
+               scatters (measured ~0.55 ms/block at the worst-case 86
+               slots/segment vs ~0.05 at 8), and on detector-driven
+               periodic data real segments carry 1-2 sequences.  A block
+               where ANY segment overflows wcap reports
+               ``total = length + 1`` — the caller's RAW-fallback
+               contract handles it (no corrupt emission is possible).
+               None = the worst-case bound seg//min_match + 1 (never
+               overflows; the legacy full-budget parse).
 
     Returns a dict of device arrays describing the sequence layout
     (inputs to :func:`materialize`), including ``total`` [N] — the
@@ -84,6 +97,8 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     """
     if min_match < 4:
         raise ValueError("LZ4 min_match must be >= 4")
+    if seg % 64 or length % seg:
+        raise ValueError("seg must be a multiple of 64 and divide length")
     L = length
     n = mlen.shape[0]
     nseg = -(-L // seg)
@@ -98,35 +113,76 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     valid = (m >= min_match) & (i[None, :] < lengths[:, None] - 12) & (moff >= 1)
     mlen_t = jnp.where(valid, m, 0)
 
-    # next_match_pos[p] = smallest q >= p with a valid match (else L).
+    # Next-match navigation at CHUNK granularity: a full-resolution
+    # next_match_pos needs a [N, L] reverse cummin (measured ~6 ms per
+    # 256 x 128 KiB — the parse hotspot).  The cursor walk only needs
+    # (a) "is there a match AT the cursor" — one gather of the packed
+    # plane — and (b) "first match strictly past my 64-byte chunk" — a
+    # per-chunk min (ONE full-resolution pass) plus a within-segment
+    # reverse cummin over chunks (64x less data).  Matches between the
+    # cursor and its chunk end that don't start AT the cursor are
+    # skipped (those bytes emit as literals): on detector-driven data a
+    # match follows the cursor immediately wherever history >= offset,
+    # so the loss is bounded by one sub-chunk literal head per segment.
+    CHUNK = 64
+    cpseg = seg // CHUNK
+    nchunk = L // CHUNK
     cand = jnp.where(valid, i[None, :], L)
-    nmp = lax.associative_scan(jnp.minimum, cand, reverse=True, axis=1)
-    nmp = jnp.concatenate([nmp, jnp.full((n, 1), L, jnp.int32)], axis=1)
-    # One packed side-plane so each scan step pays TWO gathers (XLA TPU
-    # gathers carry a large fixed cost; measured 0.2 ms each even at
-    # [N, nseg]): mlen_t fits 11 bits (match cap <= seg <= 1024), moff
-    # 16 bits above it.
+    cmin = cand.reshape(n, nchunk, CHUNK).min(axis=2)      # [N, nchunk]
+    cnext = lax.associative_scan(
+        jnp.minimum, cmin.reshape(n, nseg, cpseg), reverse=True, axis=2
+    ).reshape(n, nchunk)
+    cnext = jnp.concatenate([cnext, jnp.full((n, 1), L, jnp.int32)], axis=1)
+    # One packed side-plane so each walk step pays TWO gathers (XLA TPU
+    # gathers carry a large fixed cost): mlen_t fits 11 bits (match cap
+    # <= seg <= 1024), moff 16 bits above it.
     pk = mlen_t | (moff.astype(jnp.int32) << 11)
     pk_p = jnp.concatenate([pk, jnp.zeros((n, 1), jnp.int32)], axis=1)
 
     seg_ends = (jnp.arange(nseg, dtype=jnp.int32) + 1) * seg      # [G]
-    nstep = seg // min_match + 1
+    worst = seg // min_match + 1
+    nstep = worst if wcap is None else min(wcap, worst)
 
-    def step(pos, _):
-        j = jnp.take_along_axis(nmp, jnp.minimum(pos, L), axis=1)
-        active = j < seg_ends[None, :]
-        jc = jnp.minimum(j, L)
-        pkj = jnp.take_along_axis(pk_p, jc, axis=1)
+    # Early-exit cursor walk: a lax.while_loop instead of a fixed
+    # nstep-long scan — friendly data finishes every segment in a few
+    # steps (text/RLE: 1-2 matches per segment), and each step costs two
+    # XLA gathers (~11 ns/element), so trip count IS the parse cost.
+    # The nstep bound still holds for hostile data (cursor advances >=
+    # min_match per taken match or jumps a chunk).
+    def cond(carry):
+        pos, t, P, M, O = carry
+        return jnp.logical_and(t < nstep, (pos < seg_ends[None, :]).any())
+
+    def step(carry):
+        pos, t, P, M, O = carry
+        inseg = pos < seg_ends[None, :]
+        pkj = jnp.take_along_axis(pk_p, jnp.minimum(pos, L), axis=1)
         mm = pkj & 0x7FF
-        oo = pkj >> 11
-        rec = (jnp.where(active, j, -1),
-               jnp.where(active, mm, 0),
-               jnp.where(active, oo, 0))
-        return jnp.where(active, j + mm, L), rec
+        here = inseg & (mm > 0)
+        # No match at the cursor: jump to the first match past the
+        # cursor's chunk (within the segment; L = none -> inactive).
+        nxt_c = jnp.take_along_axis(
+            cnext, jnp.minimum((pos >> 6) + 1, nchunk), axis=1)
+        jump = jnp.where(inseg & (nxt_c < seg_ends[None, :]), nxt_c, L)
+        P = lax.dynamic_update_slice_in_dim(
+            P, jnp.where(here, pos, -1)[None], t, axis=0)
+        M = lax.dynamic_update_slice_in_dim(
+            M, jnp.where(here, mm, 0)[None], t, axis=0)
+        O = lax.dynamic_update_slice_in_dim(
+            O, jnp.where(here, pkj >> 11, 0)[None], t, axis=0)
+        return jnp.where(here, pos + mm, jump), t + 1, P, M, O
 
     pos0 = jnp.broadcast_to(
         (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :], (n, nseg))
-    _, (P, M, O) = lax.scan(step, pos0, None, length=nstep)
+    rec0 = (jnp.full((nstep, n, nseg), -1, jnp.int32),
+            jnp.zeros((nstep, n, nseg), jnp.int32),
+            jnp.zeros((nstep, n, nseg), jnp.int32))
+    pos_f, _, P, M, O = lax.while_loop(
+        cond, step, (pos0, jnp.int32(0)) + rec0)
+    # A segment still active after nstep steps means the wcap budget
+    # truncated its parse: the block's layout would DROP sequences, so
+    # force the RAW-fallback contract instead (total > lengths).
+    overflow = (pos_f < seg_ends[None, :]).any(axis=1)
     # [W, N, G] -> [N, G*W]; (segment, step) order IS position order.
     P = jnp.moveaxis(P, 0, 2).reshape(n, nseg * nstep)
     M = jnp.moveaxis(M, 0, 2).reshape(n, nseg * nstep)
@@ -149,7 +205,7 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     csum = jnp.cumsum(sizes, axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
-    total = csum[:, -1] + size_f
+    total = jnp.where(overflow, lengths + 1, csum[:, -1] + size_f)
 
     # Per-slot fields with the final literals-only sequence appended as
     # slot M (mv = -1 there too, but lit fields are real).
@@ -181,8 +237,16 @@ def materialize(planes, layout, *, out_width: int):
     per byte; only the literal payload needs a data gather from the raw
     plane.
 
+    Scatter cost is per SLOT (nseg * wcap per block), so the wires pack
+    into THREE words when they fit (out_width <= 8192: lit_len <= 13
+    bits for any emitted block since total >= lit_len; match cap <= 1026
+    so mv+1 <= 10 bits — the parse's seg <= 1024 guarantees it), else
+    the general five-wire form.
+
     planes: [N, L] uint8 raw bytes.  Returns [N, out_width] uint8; bytes
-    past ``layout['total'][b]`` are zero."""
+    past ``layout['total'][b]`` are zero.  Blocks whose total exceeds
+    ``out_width`` produce garbage rows — the caller's fallback contract
+    (size >= raw length or > out_width -> store RAW) must drop them."""
     n, L = planes.shape
     starts = layout["starts"]          # [N, M+1] slot output starts
     nslots = starts.shape[1]
@@ -204,15 +268,12 @@ def materialize(planes, layout, *, out_width: int):
         w = w.at[bidx, idx].set(field, mode="drop")
         return w[:, :OW]
 
-    # Propagation is six native cummax scans, not a generic carry-scan:
+    # Propagation is native cummax scans, not a generic carry-scan:
     # output starts strictly increase across real slots, so any field
-    # packed under a ``(start+1) << k | field`` key propagates with MAX
-    # ("later slot wins"), and two fields — lit_start and the literal
-    # run's end (the match position; ``lengths`` for the final slot) —
-    # are themselves monotone across slots and scan bare.  lit_len
-    # derives as (run_end - lit_start), so no 18-bit field ever needs
-    # packing next to the 18-bit start.
-    mv1 = jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0)   # 11 bits
+    # packed under a monotone key ``key << k | field`` propagates with
+    # MAX ("later slot wins").  Monotone keys: s1 (start+1), lit_start,
+    # and the slot index k1.
+    mv1 = jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0)
     off = layout["off"]
     s1 = starts + 1
     # Slot INDEX (15 bits at any practical M) keys the off scan so the
@@ -225,17 +286,33 @@ def materialize(planes, layout, *, out_width: int):
             f"raise min_match or shrink seg/block"))
     k1 = jnp.broadcast_to(
         jnp.arange(1, nslots + 1, dtype=jnp.int32)[None, :], starts.shape)
-    w_start = lax.cummax(wire(s1), axis=1)
-    w_ls = lax.cummax(wire(layout["lit_start"]), axis=1)
-    w_le = lax.cummax(wire(layout["lit_start"] + layout["lit_len"]), axis=1)
-    w_off = lax.cummax(wire((k1 << 16) | off), axis=1)
-    w_mv = lax.cummax(wire((s1 << 11) | mv1), axis=1)
-
     t = jnp.broadcast_to(jnp.arange(OW, dtype=jnp.int32)[None, :], (n, OW))
+    if OW <= 8192:
+        # Compact three-wire form: lit_len clamps to 13 bits (only
+        # garbage-row slots exceed OW; emitted blocks have ll <= total
+        # <= OW) and mv1 <= 1022 (seg <= 1024 caps match length).
+        ll_c = jnp.minimum(layout["lit_len"], 0x1FFF)
+        w_a = lax.cummax(wire((s1 << 13) | ll_c), axis=1)
+        w_b = lax.cummax(
+            wire((layout["lit_start"] << 10) | jnp.minimum(mv1, 0x3FF)),
+            axis=1)
+        w_c = lax.cummax(wire((k1 << 16) | off), axis=1)
+        w_start = lax.shift_right_logical(w_a, 13)
+        ll = w_a & 0x1FFF
+        w_ls = lax.shift_right_logical(w_b, 10)
+        mv = (w_b & 0x3FF) - 1
+        off = w_c & 0xFFFF
+    else:
+        w_start = lax.cummax(wire(s1), axis=1)
+        w_ls = lax.cummax(wire(layout["lit_start"]), axis=1)
+        w_le = lax.cummax(
+            wire(layout["lit_start"] + layout["lit_len"]), axis=1)
+        w_off = lax.cummax(wire((k1 << 16) | off), axis=1)
+        w_mv = lax.cummax(wire((s1 << 11) | mv1), axis=1)
+        ll = w_le - w_ls
+        off = w_off & 0xFFFF
+        mv = (w_mv & 0x7FF) - 1
     d = t - (w_start - 1)
-    ll = w_le - w_ls
-    off = w_off & 0xFFFF
-    mv = (w_mv & 0x7FF) - 1
 
     n_lit_ext = _ext_bytes(ll)
     hdr = 1 + n_lit_ext
@@ -258,12 +335,104 @@ def materialize(planes, layout, *, out_width: int):
     return val.astype(jnp.uint8)
 
 
-def compress_blocks_device(planes, lengths, *, seg: int = 512,
+@functools.partial(jax.jit, static_argnames=(
+    "seg", "min_match", "mm", "detect_k", "interpret", "offsets"))
+def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
+                 interpret, offsets):
+    """Fused match + parse: ONE XLA executable (one dispatch — the dev
+    tunnel charges ~3-4 ms per launch regardless of work, measured
+    2026-08-19, so stage-per-launch composition dominates small-batch
+    cost)."""
+    n, L = planes.shape
+    nrows = L // 128
+    if offsets is not None:
+        mlen, moff = find_matches(
+            planes.reshape(n, nrows, 128), offsets=offsets, nrows=nrows,
+            interpret=interpret, max_match=mm, emit_values=True)
+    else:
+        from .pallas.lz4_match_dyn import detect_offsets, find_matches_dyn
+        offs, _cnt = detect_offsets(
+            planes, k=detect_k, max_off=min(0xFFFF, L - 128))
+        noff = (offs > 0).sum(axis=1).astype(jnp.int32)
+        mlen, moff = find_matches_dyn(
+            planes.reshape(n, nrows, 128), noff, offs, nrows=nrows,
+            max_match=mm, interpret=interpret)
+    # Detector-driven parses carry 1-2 sequences per segment (one per
+    # detected period); wcap=8 keeps the slot arrays (and the emission
+    # wire scatters, the measured cost driver) 10x smaller, with dense-
+    # sequence blocks falling back RAW.  The legacy static-offset path
+    # keeps the worst-case budget (its tests exercise dense parses).
+    return parse_and_size(
+        mlen.reshape(n, L), moff.reshape(n, L), lengths,
+        seg=seg, min_match=min_match, length=L,
+        wcap=8 if offsets is None else None)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "seg", "min_match", "mm", "detect_k", "interpret", "offsets",
+    "out_width"))
+def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
+              offsets, out_width):
+    """Fully fused compress pipeline (explicit emission width): detect +
+    match + parse + materialize in one dispatch."""
+    layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
+                          mm=mm, detect_k=detect_k, interpret=interpret,
+                          offsets=offsets)
+    out = materialize(planes, layout, out_width=out_width)
+    return out, layout["total"]
+
+
+def _validate_args(L, seg, mm, offsets):
+    if L % 128:
+        raise StatusError(Status.Invalid("plane width must be lane-aligned"))
+    # Packing-width invariants (StatusError, not silent corruption): the
+    # emission layout carries match lengths in 11-bit fields (mlen/mv)
+    # and offsets in 16 bits.
+    if mm > 2047:
+        raise StatusError(Status.Invalid(
+            f"max_match {mm} overflows the 11-bit emission field (> 2047)"))
+    if offsets is not None:
+        bad_off = [d for d in offsets if not (1 <= d <= 0xFFFF)]
+        if bad_off:
+            raise StatusError(Status.Invalid(
+                f"match offsets {bad_off[:4]} outside [1, 65535] (16-bit "
+                f"emission field / LZ4 distance)"))
+
+
+def match_parse_device(planes, lengths, *, seg: int = 1024,
+                       min_match: int = 6,
+                       offsets: tuple[int, ...] | None = None,
+                       max_match: int | None = None,
+                       detect_k: int = 4,
+                       interpret: bool = False):
+    """Match + parse stages of full-offload compression (no emission).
+
+    Returns the sequence ``layout`` dict from :func:`parse_and_size`;
+    ``layout['total']`` is the exact per-block compressed size, so a
+    caller can size the emission plane (``materialize``) from a tiny
+    readback of it — or skip emission entirely for incompressible
+    blocks.
+
+    ``offsets=None`` (default) derives each block's candidate offsets
+    from the data (``lz4_match_dyn.detect_offsets``); a static tuple
+    forces the legacy fixed-candidate kernel (``lz4_match``).
+    """
+    planes = jnp.asarray(planes)
+    n, L = planes.shape
+    mm = max_match if max_match is not None else min(seg, 1024)
+    _validate_args(L, seg, mm, offsets)
+    return _match_parse(planes, jnp.asarray(lengths, jnp.int32), seg=seg,
+                        min_match=min_match, mm=mm, detect_k=detect_k,
+                        interpret=interpret, offsets=offsets)
+
+
+def compress_blocks_device(planes, lengths, *, seg: int = 1024,
                            min_match: int = 6,
-                           offsets: tuple[int, ...] = DEFAULT_OFFSETS,
+                           offsets: tuple[int, ...] | None = None,
                            max_match: int | None = None,
                            out_width: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           detect_k: int = 4):
     """Full on-device LZ4 compression of a batch of blocks.
 
     Args:
@@ -271,37 +440,47 @@ def compress_blocks_device(planes, lengths, *, seg: int = 512,
                past each block's ``lengths[b]``.
       lengths: [N] int32 actual block lengths.
       seg:     parse segment size; also the match-length cap.
-      offsets: candidate match distances for the Pallas matcher.
+      offsets: static candidate offsets (legacy kernel); None = derive
+               per-block offsets from the data (the default).
+      out_width: emission plane width.  None = adaptive: read back the
+               (tiny) size vector and emit at the smallest lane-tiled
+               power-of-two width covering every COMPRESSIBLE block —
+               emission cost scales with compressed bytes, not the LZ4
+               worst-case bound (measured 154 ms -> ~2 ms per 64 x 128
+               KiB launch on friendly data).  An explicit width keeps
+               the call single-launch (no readback); rows with
+               ``sizes[b] > out_width`` then contain garbage and MUST be
+               treated as fallback by the caller.
 
-    Returns ``(out [N, out_width] uint8, sizes [N] int32)`` — standard
-    LZ4 block bytes per row.  Rows whose size >= lengths[b] should be
-    stored RAW by the caller (the engine's incompressible escape,
-    reference ``config.cc:60-73``).
+    Returns ``(out [N, W] uint8, sizes [N] int32)`` — standard LZ4
+    block bytes per row.  Rows whose size >= lengths[b] (or >
+    out_width) should be stored RAW by the caller (the engine's
+    incompressible escape, reference ``config.cc:60-73``).
     """
     planes = jnp.asarray(planes)
     n, L = planes.shape
-    if L % 128:
-        raise StatusError(Status.Invalid("plane width must be lane-aligned"))
-    nrows = L // 128
-    mm = max_match if max_match is not None else min(seg, 512)
-    # Packing-width invariants (StatusError, not silent corruption): the
-    # emission layout carries match lengths in 11-bit fields (mlen/mv)
-    # and offsets in 16 bits.
-    if mm > 2047:
+    mm = max_match if max_match is not None else min(seg, 1024)
+    _validate_args(L, seg, mm, offsets)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    if out_width is not None and out_width <= 8192 and mm > 1026:
         raise StatusError(Status.Invalid(
-            f"max_match {mm} overflows the 11-bit emission field (> 2047)"))
-    bad_off = [d for d in offsets if not (1 <= d <= 0xFFFF)]
-    if bad_off:
-        raise StatusError(Status.Invalid(
-            f"match offsets {bad_off[:4]} outside [1, 65535] (16-bit "
-            f"emission field / LZ4 distance)"))
-    mlen, moff = find_matches(
-        planes.reshape(n, nrows, 128), offsets=offsets, nrows=nrows,
-        interpret=interpret, max_match=mm, emit_values=True)
-    moff = moff.reshape(n, L)
-    layout = parse_and_size(
-        mlen.reshape(n, L), moff, jnp.asarray(lengths, jnp.int32),
-        seg=seg, min_match=min_match, length=L)
-    width = out_width if out_width is not None else -(-lz4_bound(L) // 128) * 128
+            f"max_match {mm} overflows the compact emission wire "
+            f"(requires out_width > 8192 or max_match <= 1026)"))
+    if out_width is not None:
+        # Single fused dispatch (see _match_parse: ~3-4 ms/launch floor).
+        return _pipeline(planes, lengths, seg=seg, min_match=min_match,
+                         mm=mm, detect_k=detect_k, interpret=interpret,
+                         offsets=offsets, out_width=out_width)
+    layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
+                          mm=mm, detect_k=detect_k, interpret=interpret,
+                          offsets=offsets)
+    sizes = np.asarray(layout["total"])
+    lens = np.asarray(lengths)
+    good = sizes < lens
+    wmax = int(sizes[good].max(initial=128))
+    if mm > 1026:
+        wmax = max(wmax, 8193)   # compact wire can't carry this mv
+    width = 128 << max(0, (-(-wmax // 128) - 1).bit_length())
+    width = min(width, -(-lz4_bound(L) // 128) * 128)
     out = materialize(planes, layout, out_width=width)
     return out, layout["total"]

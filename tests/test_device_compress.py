@@ -15,12 +15,17 @@ from bitar_tpu.ops.device_compress import compress_blocks_device, lz4_bound
 
 
 def roundtrip(planes: np.ndarray, lengths, **kw):
+    """Emit + decode every block, honoring the caller contract: rows
+    whose size >= raw length (or > the emission width) are fallback —
+    the engine stores them RAW and never reads their emitted bytes."""
     kw.setdefault("interpret", True)
     out, sizes = compress_blocks_device(
         planes, np.asarray(lengths, np.int32), **kw)
     out, sizes = np.asarray(out), np.asarray(sizes)
     for i, ln in enumerate(lengths):
         assert sizes[i] <= lz4_bound(int(ln)), f"block {i} oversize"
+        if sizes[i] >= ln or sizes[i] > out.shape[1]:
+            continue                          # fallback: stored RAW
         dec = np.asarray(native.lz4_decompress(out[i, :sizes[i]], int(ln)))
         assert dec.tobytes() == planes[i, :ln].tobytes(), f"block {i}"
     return sizes
@@ -177,3 +182,65 @@ def test_sizes_match_stream(rng):
         assert dec.tobytes() != data, "short stream decoded identically"
     except Exception:
         pass
+
+
+def test_full_width_emits_all_rows(rng):
+    # Explicit worst-case out_width: EVERY row (even incompressible)
+    # must carry a decodable stream — the legacy full-width contract.
+    L = 2048
+    blocks = [rng.integers(0, 256, L, np.uint8).tobytes(),
+              bytes([9]) * L]
+    planes = np.stack([_plane(b, L) for b in blocks])
+    out, sizes = compress_blocks_device(
+        planes, np.array([L, L], np.int32), seg=256, min_match=6,
+        out_width=-(-lz4_bound(L) // 128) * 128, interpret=True)
+    out, sizes = np.asarray(out), np.asarray(sizes)
+    for i in range(2):
+        dec = np.asarray(native.lz4_decompress(out[i, :sizes[i]], L))
+        assert dec.tobytes() == planes[i].tobytes()
+
+
+def test_offset_detector():
+    # The detector must find a working (multiple-of-period) offset for
+    # periodic data regardless of stride alignment, and nothing for
+    # random data.
+    from bitar_tpu.ops.pallas.lz4_match_dyn import detect_offsets
+
+    L = 64 * 1024
+    rng = np.random.default_rng(7)
+    period47 = (b"The quick brown fox jumps over the lazy dog 7. "
+                * (L // 47 + 1))[:L]
+    assert period47[:47] == period47[47:94], "corpus period must be 47"
+    rle = bytes([7]) * L
+    rand = rng.integers(0, 256, L, np.uint8).tobytes()
+    planes = np.stack([np.frombuffer(x, np.uint8)
+                       for x in (period47, rle, rand)])
+    offs, cnt = detect_offsets(planes)
+    offs, cnt = np.asarray(offs), np.asarray(cnt)
+    assert offs[0, 0] % 47 == 0 and offs[0, 0] > 0, "text period multiple"
+    assert offs[0, 0] <= 94, "halving refinement must shrink the offset"
+    assert offs[1, 0] == 1, "RLE refines to offset 1"
+    assert (offs[2] == 0).all(), "random data must detect nothing"
+    # detected offsets are byte-true match distances for periodic data
+    for row, data in ((0, period47), (1, rle)):
+        d = int(offs[row, 0])
+        assert data[d:] == data[:-d]
+
+
+def test_adaptive_width_fallback_contract(rng):
+    # Default (adaptive) width sizes the emission plane to compressible
+    # blocks only; incompressible rows report their true size and are
+    # fallback.  The emitted compressible row still decodes.
+    L = 4096
+    good = (b"abcabcabd " * (L // 10 + 1))[:L]
+    bad = rng.integers(0, 256, L, np.uint8).tobytes()
+    planes = np.stack([_plane(good, L), _plane(bad, L)])
+    out, sizes = compress_blocks_device(
+        planes, np.array([L, L], np.int32), seg=256, min_match=6,
+        interpret=True)
+    out, sizes = np.asarray(out), np.asarray(sizes)
+    assert sizes[1] >= L, "random block must be fallback"
+    assert out.shape[1] < lz4_bound(L), "width must shrink to real sizes"
+    assert sizes[0] < L
+    dec = np.asarray(native.lz4_decompress(out[0, :sizes[0]], L))
+    assert dec.tobytes() == planes[0].tobytes()
