@@ -170,7 +170,10 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * wire (see ops/pallas/lz4_decode_flat.py).  Block i's plan rows land at
  * offset i*max_passes in se (int16, packed start<<8|end per (pass, row)
  * cell) and shift (int32, plane-local source shifts); p_used/p0 receive
- * cb-padded pass counts; status[i] = BT_OK or negative (BT_ERR_CAPACITY
+ * cb-padded pass counts; dq / row_a MUST be zero-initialized by the
+ * caller (Densify writes only covered bytes — numpy/calloc zero pages
+ * make the common no-dense case free); status[i] = BT_OK or negative
+ * (BT_ERR_CAPACITY
  * = unplannable, use the fallback kernel).  band_rows > 0 constrains
  * every (pass, band_tile-row tile)'s source rows to one band_rows-row
  * window (8-aligned base) so the device kernel can gather with a single

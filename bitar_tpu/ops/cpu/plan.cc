@@ -481,10 +481,8 @@ class Planner {
     AllocCells();
     cell_dense_.assign(cell_pass_.size(), 0);
     resolve_memo_.assign(static_cast<size_t>(nrows) * 128, kUnresolved);
-    std::memset(dq, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
-    std::memset(row_a, 0,
-                sizeof(int32_t) * static_cast<size_t>(kDenseMax + 1) * nrows);
     *dense_out = 0;
+    const int32_t memo_size = static_cast<int32_t>(resolve_memo_.size());
 
     // src_base >= 0: per-byte resolved sources in byte_src (out/fill
     // cells whose bytes ALL chase to comp within a 3-row window);
@@ -527,13 +525,25 @@ class Planner {
         const int32_t base = static_cast<int32_t>(byte_src.size());
         byte_src.resize(base + (hi - lo));
         bool ok = true;
+        // One-hop fast path: byte p chases p + cshift, which earlier
+        // iterations (rows ascend, bytes ascend) have already memoized
+        // in the common case — the generic ResolveToComp walk (FindIdx
+        // + chain vector per byte) measured 15-25 ns/byte and dominated
+        // plan build (3.2 ms per 128 KiB text block); the inlined memo
+        // hop is ~3 ns.
+        const int32_t cshift = CellShift(f, r);
+        int32_t* bs = byte_src.data() + base;
         for (int32_t p = lo; p < hi; ++p) {
-          const int32_t s = ResolveToComp(p);
+          const int32_t q = p + cshift;
+          int32_t s = (q >= 0 && q < memo_size) ? resolve_memo_[q]
+                                                : kUnresolved;
+          if (s == kUnresolved) s = ResolveToComp(p);
           if (s < 0) { ok = false; break; }
+          resolve_memo_[p] = s;
           rlo = std::min(rlo, s >> 7);
           rhi = std::max(rhi, s >> 7);
           if (rhi - rlo > 2) { ok = false; break; }
-          byte_src[base + (p - lo)] = s;
+          bs[p - lo] = s;
         }
         if (!ok) {
           byte_src.resize(base);
@@ -551,6 +561,10 @@ class Planner {
     struct Win { int32_t a; int64_t cov; int32_t lo, hi; };  // cell range
     static thread_local std::vector<Win> wins;
     int ndense = 0;
+    // dq/row_a arrive ZERO-INITIALIZED (caller contract; numpy calloc
+    // pages are free until touched) and Densify writes only covered
+    // bytes — an unconditional 0.5 MB/block memset measured as a real
+    // cost class on blocks with little dense content.
     for (int r = 0; r < nrows; ++r) {
       const int b0 = row_head[r], b1 = row_head[r + 1];
       if (b0 == b1) continue;
@@ -583,18 +597,25 @@ class Planner {
       for (int j = 0; j < static_cast<int>(wins.size()); ++j) {
         const Win& w = wins[j];
         row_a[static_cast<size_t>(j) * nrows + r] = w.a;
+        const int32_t wbase = w.a << 7;
+        const int32_t tag = (j + 1) << 9;
         for (int ci = w.lo; ci < w.hi; ++ci) {
           const Cell& c = cells[ci];
           const Frag& f = frags_[c.frag];
           const int fr0 = f.dst / 128;
           cell_dense_[f.cell_base + (r - fr0)] = 1;
-          for (int32_t p = c.lo; p < c.hi; ++p) {
-            const int32_t src = c.src_base < 0
-                                    ? p + f.shift
-                                    : byte_src[c.src_base + (p - c.lo)];
-            const int32_t drow = (src >> 7) - w.a;
-            dq[p] = static_cast<int16_t>(((j + 1) << 9) | (drow << 7) |
-                                         (src & 127));
+          if (c.src_base < 0) {
+            // Slope-1 comp cell: dq is an arithmetic ramp (drow<<7|lane
+            // == src - wbase for any src in the 3-row window).
+            const int32_t v0 = tag + (c.lo + f.shift - wbase);
+            for (int32_t p = c.lo; p < c.hi; ++p) {
+              dq[p] = static_cast<int16_t>(v0 + (p - c.lo));
+            }
+          } else {
+            const int32_t* bs = byte_src.data() + c.src_base;
+            for (int32_t p = c.lo; p < c.hi; ++p) {
+              dq[p] = static_cast<int16_t>(tag + (bs[p - c.lo] - wbase));
+            }
           }
         }
       }
@@ -973,6 +994,12 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                          &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
                          lit_cap_i, lit_used_i, dq_i, row_a_i, dense + i);
     if (rc == BT_ERR_CAPACITY && split_limit != 2) {
+      // The failed attempt may have written dense planes; restore the
+      // zero-initialized contract before re-densifying.
+      std::memset(dq_i, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
+      std::memset(row_a_i, 0, sizeof(int32_t) *
+                                  static_cast<size_t>(Planner::kDenseMax + 1) *
+                                  nrows);
       rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                        max_passes, /*split_limit=*/2, cb, band_rows, band_tile,
                        &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
