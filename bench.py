@@ -264,6 +264,39 @@ def main() -> int:
     except Exception as e:                             # secondary metric only
         print(f"bench: zstd phase skipped: {e}", file=sys.stderr)
 
+    # --- secondary: snappy through the same device decode path (the
+    # third operator of the BASELINE set; plannable per ops/cpu/plan.cc
+    # bt_snappy_parse).  Same plane shape as the LZ4 phase, so the
+    # kernel compile is shared.
+    snappy_dec = snappy_comp = None
+    try:
+        scfg = cfg.replace(codec=bt.Codec.SNAPPY)
+        seng = bt.Engine(scfg).initialize()
+        t0 = time.perf_counter()
+        sunit = seng.compress(data)
+        snappy_comp = len(data) / (time.perf_counter() - t0) / 1e9
+        seng.ensure_plans(sunit)
+        if sunit.plan_flat is not None and sunit.plan_comp_rows == comp_rows:
+            sout = seng.decompress(sunit)
+            assert sout.tobytes() == data, "snappy round-trip not bit-exact"
+            slaunch = seng.prepare_device_decode(sunit)
+            np.asarray(slaunch()[0, 0, :1])            # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(REPS):
+                    last = slaunch()
+                np.asarray(last[0, 0, :1])
+                best = min(best, (time.perf_counter() - t0) / REPS)
+            snappy_dec = len(data) / best / 1e9
+            print(f"bench: snappy decompress {best*1e3:.2f} ms/launch "
+                  f"({snappy_dec:.3f} GB/s, device path)", file=sys.stderr)
+        seng.recycle(sunit)
+        seng.release()
+    except Exception as e:                             # secondary metric only
+        print(f"bench: snappy phase skipped: {e}", file=sys.stderr)
+
     # --- secondary: real-text corpus (markdown), the decode kernel's
     # hardest class — no RAW/RLE escape hatches, deep out-pass
     # schedules.  Keeps the headline honest about unfriendly data.
@@ -361,6 +394,8 @@ def main() -> int:
         "plan_build_ms": round(plan_ms, 1),
         "zstd_decompress_GBps": round(zstd_dec, 4) if zstd_dec else None,
         "zstd_compress_GBps": round(zstd_comp, 4) if zstd_comp else None,
+        "snappy_decompress_GBps": round(snappy_dec, 4) if snappy_dec else None,
+        "snappy_compress_GBps": round(snappy_comp, 4) if snappy_comp else None,
         "text_decompress_GBps": round(text_dec, 4) if text_dec else None,
         "device_offload_compress_GBps": round(dev_comp, 4) if dev_comp else None,
         "device_offload_ratio": round(dev_ratio, 4) if dev_ratio else None,

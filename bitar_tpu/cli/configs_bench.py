@@ -266,12 +266,18 @@ def _decode_scaling(datas: list[bytes], codecs: list, reps: int = 3) -> float:
 
 
 def config3_mixed_streams() -> dict:
-    """8 concurrent streams (4 LZ4 + 4 Zstd engines) vs ONE stream over
-    the same total bytes — the reference async suite's scaling question
-    (``demo_app.cc:548-693``) answered per phase on one chip:
+    """8 concurrent streams (4 LZ4 + 4 Zstd engines) — the reference
+    async suite's scaling question (``demo_app.cc:548-693``) answered
+    per phase on one chip:
 
     * ``decode_*``: device-resident decode only (what the chip does) —
       the honest on-device stream-scaling number.
+      ``decode_stream_scaling`` compares CODEC-MATCHED arms: 8
+      concurrent mixed streams vs the sum of one 32 MiB LZ4 run and one
+      32 MiB Zstd run over the same bytes (the round-3 metric divided 8
+      mixed streams by one all-LZ4 stream, so the zstd kernel share —
+      not concurrency — pushed it to 0.64; an all-LZ4 baseline is kept
+      as ``decode_one_stream_GBps``).
     * ``round_trip_*``: compress + staging + decode; on the dev tunnel
       this measures the ~0.04 GB/s host->device link, reported so the
       artifact states the measured reason round-trip cannot scale here.
@@ -285,15 +291,20 @@ def config3_mixed_streams() -> dict:
                for s in range(8)]
 
     dec8 = _decode_scaling(datas, codecs8)
+    lz4_bytes = b"".join(datas[s] for s in range(8) if s % 2 == 0)
+    zstd_bytes = b"".join(datas[s] for s in range(8) if s % 2 == 1)
+    dec_lz4 = _decode_scaling([lz4_bytes], [bt.Codec.LZ4])
+    dec_zstd = _decode_scaling([zstd_bytes], [bt.Codec.ZSTD])
     dec1 = _decode_scaling([b"".join(datas)], [bt.Codec.LZ4])
     wall8 = _run_streams(datas, codecs8)
     wall1 = _run_streams([b"".join(datas)], [bt.Codec.LZ4])
     return dict(
-        config=3, input="8 streams x 8 MiB (4 LZ4 + 4 Zstd) vs 1 x 64 MiB",
+        config=3, input="8 streams x 8 MiB (4 LZ4 + 4 Zstd)",
         bytes=total,
         decode_GBps=round(total / dec8 / 1e9, 3),
         decode_one_stream_GBps=round(total / dec1 / 1e9, 3),
-        decode_stream_scaling=round(dec1 / dec8, 2),
+        decode_matched_serial_GBps=round(total / (dec_lz4 + dec_zstd) / 1e9, 3),
+        decode_stream_scaling=round((dec_lz4 + dec_zstd) / dec8, 2),
         round_trip_GBps=round(total / wall8 / 1e9, 3),
         round_trip_one_stream_GBps=round(total / wall1 / 1e9, 3),
         bit_exact=True)
