@@ -217,6 +217,16 @@ class Engine:
         self.arena: DeviceArena | None = None
         self.stats = EngineStats()
         self._lock = threading.Lock()
+        # Plan-scratch pool: first-touch page faults on this microVM run
+        # ~0.2 GB/s, so freshly allocating the ~0.5 GB of planner
+        # buffers per ensure_plans costs seconds while the planner's own
+        # work is ~0.2 s.  Transient per-chunk buffers reuse via
+        # _plan_chunk_scratch (serialized within ensure_plans); the
+        # unit-owned compact dense planes come from _plan_free and
+        # return on recycle() — the reference's DeviceMemory take/put
+        # discipline (memory.cc:161-209) applied to host plan scratch.
+        self._plan_chunk_scratch: dict[tuple, np.ndarray] = {}
+        self._plan_free: list[tuple[np.ndarray, np.ndarray]] = []
 
     # ------------------------------------------------------------------
     def initialize(self) -> "Engine":
@@ -656,13 +666,29 @@ class Engine:
         # decodes each op independently, device.cc:512-520).
         chunk = self._PLAN_CHUNK_BLOCKS
 
+        def chunk_bufs(ci: int, nb: int):
+            """Reusable per-chunk dense-plane buffers, keyed by chunk
+            index (chunks coexist until the dense pack below, so each
+            needs its own; reuse is across ensure_plans calls).  First
+            use pays the page faults once per engine lifetime."""
+            key = (ci, nb, nrows)
+            bufs = self._plan_chunk_scratch.get(key)
+            if bufs is None:
+                # No zeroing needed, here or on reuse: the planner fully
+                # defines the planes of every block it reports dense.
+                bufs = (np.empty((nb, nrows, 128), np.int16),
+                        np.empty((nb, 64, nrows), np.int32))
+                self._plan_chunk_scratch[key] = bufs
+            return bufs
+
         def plan_all(brows: int):
             ctxs, pus, p0s, oks, lus, dss = ([] for _ in range(6))
             dq_parts, ra_parts = [], []
-            for s in range(0, n, chunk):
+            for ci, s in enumerate(range(0, n, chunk)):
                 e = min(n, s + chunk)
                 lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
                          if lit_out is not None else None)
+                dq_buf, ra_buf = chunk_bufs(ci, e - s)
                 ctx, pu, p0c, st, lu, dq, ra, ds = native.plan_batch_begin(
                     staging[s:e].reshape(-1),
                     np.arange(e - s, dtype=np.int64) * slot,
@@ -670,20 +696,19 @@ class Engine:
                     manifest.codec_ids[s:e],
                     nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
                     lit_out=lit_i, lit_stride=cfg.block_size,
-                    band_rows=brows)
+                    band_rows=brows, dq_buf=dq_buf, ra_buf=ra_buf)
                 okc = st == 0
                 pu[~okc] = 0
                 p0c[~okc] = 0
                 ds[~okc] = 0
-                # Compact the dense planes per chunk (only dense > 0
-                # blocks carry wire; anchors trim to the chunk's own
-                # pass count) so plan scratch stays bounded by ACTUAL
-                # dense content, not nblocks x 64 anchor planes.
-                selc = np.flatnonzero(ds > 0)
-                dq_parts.append(np.ascontiguousarray(dq[selc]))
-                dmax_c = max(1, int(ds.max(initial=0)))
-                ra_parts.append(np.ascontiguousarray(
-                    ra.reshape(e - s, -1, nrows)[selc, :dmax_c]))
+                # Keep the raw per-chunk dense planes (calloc pages —
+                # cheap until touched); compaction happens in ONE
+                # threaded native pass once the global dense counts are
+                # known (the per-chunk numpy fancy-index + concat +
+                # transpose chain measured ~1.9 s of the 6 s plan build
+                # for a 1024-block unit).
+                dq_parts.append(dq)
+                ra_parts.append(ra)
                 ctxs.append((ctx, s, e))
                 pus.append(pu)
                 p0s.append(p0c)
@@ -735,18 +760,34 @@ class Engine:
         # dense-pass count (power-of-two quantized: shared kernel
         # shapes).
         dense = dense.astype(np.int32)
-        nd = sum(p.shape[0] for p in dq_parts)
+        nd = int((dense > 0).sum())
         dmax = max(1, int(dense.max(initial=0)))
         dcap = 1 << (dmax - 1).bit_length()
+        pooled = None
         if nd:
-            dq_c = np.concatenate(dq_parts)
-            ra_cat = np.zeros((nd, dcap, nrows), np.int32)
+            # Unit-owned compact planes come from the engine's free list
+            # (returned by recycle) — see _plan_free in __init__.
+            need_dq = nd * nrows * 128
+            need_ra = nd * dcap * nrows
+            for k, (fdq, fra) in enumerate(self._plan_free):
+                if fdq.size >= need_dq and fra.size >= need_ra:
+                    pooled = self._plan_free.pop(k)
+                    break
+            if pooled is None:
+                pooled = (np.empty(need_dq, np.int16),
+                          np.empty(need_ra, np.int32))
+            dq_c = pooled[0][:need_dq].reshape(nd, nrows, 128)
+            ra_c = pooled[1][:need_ra].reshape(nd, dcap, LANES, tiles)
             o = 0
-            for p in ra_parts:
-                ra_cat[o:o + p.shape[0], :min(p.shape[1], dcap)] = \
-                    p[:, :dcap]
-                o += p.shape[0]
-            ra_c = pack_row_a_planes(ra_cat, dcap)
+            for (ctx, s, e), dqp, rap in zip(ctxs, dq_parts, ra_parts):
+                selc = np.flatnonzero(dense[s:e] > 0).astype(np.int64)
+                if selc.size:
+                    native.plan_dense_pack(
+                        selc, dqp, dq_c[o:o + selc.size],
+                        rap.reshape(e - s, -1, nrows),
+                        ra_c[o:o + selc.size].reshape(selc.size, -1),
+                        nrows, dcap)
+                    o += selc.size
         else:
             dq_c = np.zeros((1, nrows, 128), np.int16)
             ra_c = np.zeros((1, dcap, LANES, tiles), np.int32)
@@ -756,6 +797,8 @@ class Engine:
                  "p0": p0.astype(np.int32), "se": se, "shift": sh,
                  "dq": dq_c, "row_a": ra_c, "dense": dense,
                  "dq_idx": dq_idx}
+        if pooled is not None:
+            plans["_pooled"] = pooled
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).
@@ -1301,10 +1344,17 @@ class Engine:
 
     def recycle(self, unit: CompressedUnit) -> int:
         """Return a unit's arena slots; returns the recycled count
-        (reference ``Recycle``, ``device.cc:321-327``)."""
+        (reference ``Recycle``, ``device.cc:321-327``).  Pooled plan
+        scratch (see ``_plan_free``) returns to the engine here too —
+        the unit's plan views must not be used after recycle (the same
+        contract as its arena-aliasing buffers)."""
         self._entry_guard()
         unit._check_live()
         count = self.arena.recycle(unit.refs)
+        if unit.plan_flat is not None:
+            pooled = unit.plan_flat.pop("_pooled", None)
+            if pooled is not None:
+                self._plan_free.append(pooled)
         unit._drop_staging()
         unit.recycled = True
         return count

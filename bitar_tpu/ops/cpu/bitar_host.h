@@ -170,9 +170,10 @@ int bt_plan_block(int codec, const uint8_t* src, int src_len, int out_len,
  * wire (see ops/pallas/lz4_decode_flat.py).  Block i's plan rows land at
  * offset i*max_passes in se (int16, packed start<<8|end per (pass, row)
  * cell) and shift (int32, plane-local source shifts); p_used/p0 receive
- * cb-padded pass counts; dq / row_a MUST be zero-initialized by the
- * caller (Densify writes only covered bytes — numpy/calloc zero pages
- * make the common no-dense case free); status[i] = BT_OK or negative
+ * cb-padded pass counts; dq / row_a may be DIRTY: for every block
+ * reported dense > 0 the planner fully defines its dq plane and the
+ * first `dense` anchor planes (other blocks' planes are unspecified
+ * and must not be shipped); status[i] = BT_OK or negative
  * (BT_ERR_CAPACITY
  * = unplannable, use the fallback kernel).  band_rows > 0 constrains
  * every (pass, band_tile-row tile)'s source rows to one band_rows-row
@@ -216,6 +217,15 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
 void bt_plan_batch_pack(void* ctx, int nthreads, const int64_t* p_off,
                         int16_t* se, int32_t* shift);
 void bt_plan_batch_abort(void* ctx);
+
+/* Compact + re-lay the dense planes of nsel selected blocks (threaded):
+ * dq_dst[j] = dq_src[sel[j]] (nrows*128 int16 rows); ra_dst[j] = first
+ * min(dcap, src_planes) anchor planes of block sel[j] transposed to the
+ * kernel's [dcap, 128, nrows/128] column layout, zero-padded to dcap. */
+void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
+                        const int16_t* dq_src, int16_t* dq_dst,
+                        const int32_t* ra_src, int32_t* ra_dst, int nrows,
+                        int src_planes, int dcap);
 
 /* Debug/analysis: parse + fragment-build one block, dumping up to `cap`
  * fragments (dst, len, shift, space, aux).  Returns the true fragment

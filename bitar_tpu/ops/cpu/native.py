@@ -436,8 +436,20 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
-    dq = np.zeros((n, nrows, 128), np.int16)
-    row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
+    # Callers may pass reusable ZEROED dense-plane buffers (the planner
+    # writes only covered bytes): fresh 0.5 GB allocations per call cost
+    # seconds of first-touch page faults on small VMs.
+    if dq_buf is not None:
+        assert dq_buf.shape == (n, nrows, 128) and dq_buf.dtype == np.int16
+        dq = dq_buf
+    else:
+        dq = np.zeros((n, nrows, 128), np.int16)
+    if ra_buf is not None:
+        assert ra_buf.shape == (n, DENSE_PLANES, nrows) and \
+            ra_buf.dtype == np.int32
+        row_a = ra_buf
+    else:
+        row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
     dense = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     load().bt_plan_batch(
@@ -459,7 +471,9 @@ def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
                      codec_ids: np.ndarray, nrows: int, max_passes: int,
                      cb: int, split_limit: int = 128, nthreads: int = 0,
                      lit_out: np.ndarray | None = None, lit_stride: int = 0,
-                     band_rows: int = 0, band_tile: int = 0):
+                     band_rows: int = 0, band_tile: int = 0,
+                     dq_buf: np.ndarray | None = None,
+                     ra_buf: np.ndarray | None = None):
     """Phase 1 of the compact two-phase planner.
 
     Plans every block in parallel into per-block compact buffers held by
@@ -478,8 +492,20 @@ def plan_batch_begin(src: np.ndarray, src_off: np.ndarray,
     p0 = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
     lit_used = np.zeros(n, np.int32)
-    dq = np.zeros((n, nrows, 128), np.int16)
-    row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
+    # Callers may pass reusable ZEROED dense-plane buffers (the planner
+    # writes only covered bytes): fresh 0.5 GB allocations per call cost
+    # seconds of first-touch page faults on small VMs.
+    if dq_buf is not None:
+        assert dq_buf.shape == (n, nrows, 128) and dq_buf.dtype == np.int16
+        dq = dq_buf
+    else:
+        dq = np.zeros((n, nrows, 128), np.int16)
+    if ra_buf is not None:
+        assert ra_buf.shape == (n, DENSE_PLANES, nrows) and \
+            ra_buf.dtype == np.int32
+        row_a = ra_buf
+    else:
+        row_a = np.zeros((n, DENSE_PLANES, nrows), np.int32)
     dense = np.zeros(n, np.int32)
     i16p = ctypes.POINTER(ctypes.c_int16)
     ctx = load().bt_plan_batch_begin(
@@ -511,6 +537,33 @@ def plan_batch_pack(ctx, p_off: np.ndarray, se: np.ndarray,
 def plan_batch_abort(ctx) -> None:
     """Free a :func:`plan_batch_begin` context without packing."""
     load().bt_plan_batch_abort(ctx)
+
+
+def plan_dense_pack(sel: np.ndarray, dq_src: np.ndarray,
+                    dq_dst: np.ndarray, ra_src: np.ndarray,
+                    ra_dst: np.ndarray, nrows: int, dcap: int,
+                    nthreads: int = 0) -> None:
+    """Threaded compaction + re-layout of dense planes (see
+    bt_plan_dense_pack): dq_dst[j] = dq_src[sel[j]]; ra_dst[j] = block
+    sel[j]'s first dcap anchor planes in the kernel's [dcap, 128,
+    tiles] column layout.  ~10x the numpy fancy-index/concat/transpose
+    chain it replaces."""
+    lib = load()
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.bt_plan_dense_pack.restype = None
+    lib.bt_plan_dense_pack.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        i16p, i16p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    src_planes = ra_src.shape[1]
+    lib.bt_plan_dense_pack(
+        nthreads, int(sel.shape[0]),
+        _i64ptr(np.ascontiguousarray(sel, np.int64)),
+        dq_src.ctypes.data_as(i16p), dq_dst.ctypes.data_as(i16p),
+        _i32ptr(ra_src), _i32ptr(ra_dst), nrows, src_planes, dcap)
 
 
 def plan_prof(reset: bool = True) -> dict[str, float]:

@@ -561,10 +561,17 @@ class Planner {
     struct Win { int32_t a; int64_t cov; int32_t lo, hi; };  // cell range
     static thread_local std::vector<Win> wins;
     int ndense = 0;
-    // dq/row_a arrive ZERO-INITIALIZED (caller contract; numpy calloc
-    // pages are free until touched) and Densify writes only covered
-    // bytes — an unconditional 0.5 MB/block memset measured as a real
-    // cost class on blocks with little dense content.
+    // Self-cleaning planes: Densify fully defines dq and the used
+    // row_a planes for any block it marks dense (ndense > 0) — covered
+    // bytes get their values, every OTHER byte of those planes is
+    // zeroed below at row granularity.  Callers can therefore reuse
+    // dirty buffers without a 0.5 MB/block pre-memset (first-touch
+    // page faults on fresh buffers measured ~0.13 GB/s on this VM —
+    // seconds per 1024-block unit, 10x the planner's own work).
+    static thread_local std::vector<uint8_t> row_written;
+    static thread_local std::vector<int8_t> row_nwins;
+    row_written.assign(static_cast<size_t>(nrows), 0);
+    row_nwins.assign(static_cast<size_t>(nrows), 0);
     for (int r = 0; r < nrows; ++r) {
       const int b0 = row_head[r], b1 = row_head[r + 1];
       if (b0 == b1) continue;
@@ -594,6 +601,12 @@ class Planner {
                           });
         wins.resize(kDenseMax);
       }
+      row_written[r] = 1;
+      row_nwins[r] = static_cast<int8_t>(wins.size());
+      // Zero this row's dq span once, then write covered bytes (cells
+      // may not tile the row).
+      std::memset(dq + static_cast<size_t>(r) * 128, 0,
+                  128 * sizeof(int16_t));
       for (int j = 0; j < static_cast<int>(wins.size()); ++j) {
         const Win& w = wins[j];
         row_a[static_cast<size_t>(j) * nrows + r] = w.a;
@@ -620,6 +633,19 @@ class Planner {
         }
       }
       ndense = std::max(ndense, static_cast<int>(wins.size()));
+    }
+    if (ndense > 0) {
+      // Finish the planes: zero dq rows with no windows and the unused
+      // anchor slots of used planes (the kernel ships whole planes).
+      for (int r = 0; r < nrows; ++r) {
+        if (!row_written[r]) {
+          std::memset(dq + static_cast<size_t>(r) * 128, 0,
+                      128 * sizeof(int16_t));
+        }
+        for (int j = row_nwins[r]; j < ndense; ++j) {
+          row_a[static_cast<size_t>(j) * nrows + r] = 0;
+        }
+      }
     }
     *dense_out = ndense;
   }
@@ -994,12 +1020,6 @@ void* bt_plan_batch_begin(int codec, const int32_t* codec_ids, int nthreads,
                          &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
                          lit_cap_i, lit_used_i, dq_i, row_a_i, dense + i);
     if (rc == BT_ERR_CAPACITY && split_limit != 2) {
-      // The failed attempt may have written dense planes; restore the
-      // zero-initialized contract before re-densifying.
-      std::memset(dq_i, 0, sizeof(int16_t) * static_cast<size_t>(nrows) * 128);
-      std::memset(row_a_i, 0, sizeof(int32_t) *
-                                  static_cast<size_t>(Planner::kDenseMax + 1) *
-                                  nrows);
       rc = PlanOneFlat(c, src + src_off[i], src_len[i], out_len[i], nrows,
                        max_passes, /*split_limit=*/2, cb, band_rows, band_tile,
                        &c_->se[i], &c_->shift[i], p_used + i, p0 + i, lit_i,
@@ -1042,6 +1062,46 @@ void bt_plan_batch_pack(void* ctx_ptr, int nthreads, const int64_t* p_off,
 // Free a context without packing (e.g. the caller re-plans unbanded).
 void bt_plan_batch_abort(void* ctx_ptr) {
   delete static_cast<BtPlanCtx*>(ctx_ptr);
+}
+
+// Compact the dense planes of selected blocks (threaded memcpy): block
+// sel[j] contributes dq row j (nrows*128 int16) and its first dcap
+// anchor planes RE-LAID to the kernel's [dcap, 128, tiles] column
+// layout (the single other writer is pack_row_a_planes — keep them
+// byte-identical).  Replaces ~500 MB of numpy fancy-index + concat +
+// transpose copies per 1024-block unit (measured ~1.9 s of Python in
+// ensure_plans vs ~0.05 s here).
+void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
+                        const int16_t* dq_src, int16_t* dq_dst,
+                        const int32_t* ra_src, int32_t* ra_dst, int nrows,
+                        int src_planes, int dcap) {
+  const size_t dq_row = static_cast<size_t>(nrows) * 128;
+  const int tiles = nrows / 128;
+  RunWorkers(nthreads, nsel, [&](int j) {
+    const int64_t i = sel[j];
+    std::memcpy(dq_dst + static_cast<size_t>(j) * dq_row,
+                dq_src + static_cast<size_t>(i) * dq_row,
+                dq_row * sizeof(int16_t));
+    const int ncopy = dcap < src_planes ? dcap : src_planes;
+    for (int p = 0; p < ncopy; ++p) {
+      const int32_t* src = ra_src +
+          (static_cast<size_t>(i) * src_planes + p) * nrows;
+      int32_t* dst = ra_dst +
+          (static_cast<size_t>(j) * dcap + p) * static_cast<size_t>(nrows);
+      // [nrows] row-major -> [128, tiles] column layout:
+      // dst[lane * tiles + t] = src[t * 128 + lane].
+      for (int t = 0; t < tiles; ++t) {
+        const int32_t* s_row = src + static_cast<size_t>(t) * 128;
+        for (int lane = 0; lane < 128; ++lane) {
+          dst[static_cast<size_t>(lane) * tiles + t] = s_row[lane];
+        }
+      }
+    }
+    for (int p = src_planes; p < dcap; ++p) {
+      std::memset(ra_dst + (static_cast<size_t>(j) * dcap + p) * nrows, 0,
+                  sizeof(int32_t) * nrows);
+    }
+  });
 }
 
 // Compat wrapper: batched parse+plan+pack with block i's plan rows at
