@@ -398,7 +398,9 @@ def plan_batch_flat(src: np.ndarray, src_off: np.ndarray, src_len: np.ndarray,
                     max_passes: int, cb: int, split_limit: int = 128,
                     nthreads: int = 0, lit_out: np.ndarray | None = None,
                     lit_stride: int = 0, band_rows: int = 0,
-                    band_tile: int = 0):
+                    band_tile: int = 0,
+                    dq_buf: np.ndarray | None = None,
+                    ra_buf: np.ndarray | None = None):
     """Batched parse+plan+pack into the flat decode-kernel wire.
 
     Returns (se [n, max_passes, nrows] int16, shift int32, p_used [n],
