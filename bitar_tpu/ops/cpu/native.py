@@ -575,9 +575,10 @@ def plan_prof(reset: bool = True) -> dict[str, float]:
     lib.bt_plan_prof_get.argtypes = [ctypes.POINTER(ctypes.c_int64),
                                      ctypes.c_int]
     lib.bt_plan_prof_get.restype = None
-    buf = (ctypes.c_int64 * 6)()
+    buf = (ctypes.c_int64 * 8)()
     lib.bt_plan_prof_get(buf, 1 if reset else 0)
-    keys = ("parse", "build", "densify", "schedule", "emit", "pack")
+    keys = ("parse", "build", "densify", "schedule", "emit", "pack",
+            "d_collect", "d_write")
     return {k: buf[i] / 1e6 for i, k in enumerate(keys)}
 
 

@@ -42,9 +42,10 @@ namespace {
 thread_local int g_split_limit = 2;  // per-thread: see bt_plan_rows' split_limit arg
 
 // Phase profiling accumulators (ns, summed across worker threads):
-// [0]=parse [1]=build [2]=densify [3]=schedule [4]=emit-wire [5]=pack.
+// [0]=parse [1]=build [2]=densify [3]=schedule [4]=emit-wire [5]=pack
+// [6]=densify:collect-resolve [7]=densify:window-write (sub-phases of 2).
 // Cheap enough to keep always-on; read/reset via bt_plan_prof_get.
-std::atomic<int64_t> g_prof[6];
+std::atomic<int64_t> g_prof[8];
 
 struct ProfScope {
   int idx;
@@ -483,6 +484,19 @@ class Planner {
     resolve_memo_.assign(static_cast<size_t>(nrows) * 128, kUnresolved);
     *dense_out = 0;
     const int32_t memo_size = static_cast<int32_t>(resolve_memo_.size());
+    // Prefill comp fragments as resolved ramps (memo[p] = p + shift).
+    // Without this, any out/fill cell sourcing a literal region misses
+    // the memo and pays the generic per-byte walk — measured 4x the
+    // whole collect phase on RLE/periodic corpora (the fill rows all
+    // chase the seed row, whose literal byte was never memoized).
+    for (const Frag& f : frags_) {
+      if (f.out_space != kComp) continue;
+      const int32_t end = std::min(f.dst + f.len, memo_size);
+      int32_t* mp = resolve_memo_.data();
+      for (int32_t p = f.dst < 0 ? 0 : f.dst; p < end; ++p) {
+        mp[p] = p + f.shift;
+      }
+    }
 
     // src_base >= 0: per-byte resolved sources in byte_src (out/fill
     // cells whose bytes ALL chase to comp within a 3-row window);
@@ -497,6 +511,8 @@ class Planner {
 
     // Bucket candidate cells by row (fragments are dst-ordered, so
     // cells arrive row-sorted; counting sort by row).
+    {
+    ProfScope prof_collect(6);
     for (int fi = 0; fi < static_cast<int>(frags_.size()); ++fi) {
       const Frag& f = frags_[fi];
       const int r0 = f.dst / 128;
@@ -533,6 +549,39 @@ class Planner {
         // hop is ~3 ns.
         const int32_t cshift = CellShift(f, r);
         int32_t* bs = byte_src.data() + base;
+        // Vector fast path: when the whole cell's one-hop window is in
+        // range, the loop is a contiguous memo load + contiguous store +
+        // running min (autovectorized; ~0.5 ns/byte vs ~3 for the
+        // scalar hop).  Any negative (unresolved/-1) falls back to the
+        // scalar walk below.  Reads complete before memo writes, so a
+        // self-overlapping window (q range intersecting [lo, hi)) sees
+        // kUnresolved and falls back — the scalar loop handles it.
+        const int32_t qlo = lo + cshift;
+        bool fast_done = false;
+        if (qlo >= 0 && hi + cshift <= memo_size) {
+          const int32_t* mm = resolve_memo_.data() + qlo;
+          const int32_t n_cell = hi - lo;
+          int32_t vneg = 0, vlo = INT32_MAX, vhi = INT32_MIN;
+          for (int32_t k = 0; k < n_cell; ++k) {
+            const int32_t s = mm[k];
+            bs[k] = s;
+            vneg |= s >> 31;           // any s < 0 (incl. kUnresolved)
+            vlo = std::min(vlo, s);
+            vhi = std::max(vhi, s);
+          }
+          if (vneg == 0) {
+            rlo = std::min(rlo, vlo >> 7);
+            rhi = std::max(rhi, vhi >> 7);
+            if (rhi - rlo > 2) {
+              ok = false;
+            } else {
+              std::memcpy(resolve_memo_.data() + lo, bs,
+                          sizeof(int32_t) * n_cell);
+            }
+            fast_done = true;
+          }
+        }
+        if (!fast_done && ok) {
         for (int32_t p = lo; p < hi; ++p) {
           const int32_t q = p + cshift;
           int32_t s = (q >= 0 && q < memo_size) ? resolve_memo_[q]
@@ -545,6 +594,7 @@ class Planner {
           if (rhi - rlo > 2) { ok = false; break; }
           bs[p - lo] = s;
         }
+        }
         if (!ok) {
           byte_src.resize(base);
           continue;
@@ -552,6 +602,7 @@ class Planner {
         cells.push_back({fi, lo, hi, rlo, rhi, base});
         ++row_head[r + 1];
       }
+    }
     }
     if (cells.empty()) return;
     for (int r = 0; r < nrows; ++r) row_head[r + 1] += row_head[r];
@@ -572,6 +623,7 @@ class Planner {
     static thread_local std::vector<int8_t> row_nwins;
     row_written.assign(static_cast<size_t>(nrows), 0);
     row_nwins.assign(static_cast<size_t>(nrows), 0);
+    ProfScope prof_write(7);
     for (int r = 0; r < nrows; ++r) {
       const int b0 = row_head[r], b1 = row_head[r + 1];
       if (b0 == b1) continue;
@@ -787,7 +839,7 @@ void bt_set_split_limit(int v) { g_split_limit = v < 1 ? 1 : v; }
 // summed over worker threads) into `out_ns[6]`, resetting when
 // reset != 0.
 void bt_plan_prof_get(int64_t* out_ns, int reset) {
-  for (int i = 0; i < 6; ++i) {
+  for (int i = 0; i < 8; ++i) {
     out_ns[i] = g_prof[i].load(std::memory_order_relaxed);
     if (reset != 0) g_prof[i].store(0, std::memory_order_relaxed);
   }
