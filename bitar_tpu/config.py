@@ -238,6 +238,18 @@ class EngineConfig:
                                         # output sits in POOL memory
                                         # (device.cc:157-238); the DPU
                                         # DMAs host memzones on demand.
+    plan_build: str = "background"      # when the decode plan (the flat
+                                        # kernel wire) is built for
+                                        # engine-compressed units:
+                                        # "background" starts it on a
+                                        # worker thread DURING compress
+                                        # (the compressor just produced
+                                        # the sequences; the reference
+                                        # assembles decode ops in us on
+                                        # the hot path, memory.cc:351-430
+                                        # — ensure_plans becomes a join),
+                                        # "lazy" defers it to the first
+                                        # decompress (pre-r5 behavior).
 
     # ------------------------------------------------------------------
     @property
@@ -331,6 +343,9 @@ class EngineConfig:
         if self.commit not in ("eager", "deferred"):
             return Status.Invalid(
                 f"commit {self.commit!r} not in (eager, deferred)")
+        if self.plan_build not in ("background", "lazy"):
+            return Status.Invalid(
+                f"plan_build {self.plan_build!r} not in (background, lazy)")
         return Status.OK()
 
     def replace(self, **kw) -> "EngineConfig":

@@ -155,6 +155,12 @@ class CompressedUnit:
     #: True once ensure_plans ran (a planning *attempt* is one-shot even
     #: when it fails and the unit falls back to tables/host decode).
     _planned: bool = field(default=False, repr=False)
+    #: Pending background plan build (config plan_build="background"):
+    #: compress submits the build to the engine's plan worker the moment
+    #: the sequences exist; ensure_plans joins it.  The future resolves
+    #: to ``("done", plans_or_None)`` so a legitimately-unplannable unit
+    #: is not rebuilt synchronously at join time.
+    _plan_future: object | None = field(default=None, repr=False)
     #: False while compressed bytes live only in host staging (deferred
     #: commit); Engine._ensure_committed uploads them before any arena
     #: read.
@@ -227,6 +233,12 @@ class Engine:
         # discipline (memory.cc:161-209) applied to host plan scratch.
         self._plan_chunk_scratch: dict[tuple, np.ndarray] = {}
         self._plan_free: list[tuple[np.ndarray, np.ndarray]] = []
+        # Plan builds run on ONE worker thread (plan-during-emission:
+        # compress submits, ensure_plans joins) — the single worker
+        # serializes access to the chunk-scratch pool; _plan_lock covers
+        # the direct ensure_plans path and _plan_free mutations.
+        self._plan_lock = threading.Lock()
+        self._plan_executor: concurrent.futures.ThreadPoolExecutor | None = None
 
     # ------------------------------------------------------------------
     def initialize(self) -> "Engine":
@@ -260,6 +272,9 @@ class Engine:
 
     def release(self) -> None:
         """Teardown by state (reference dtor, ``device.cc:330-343``)."""
+        if self._plan_executor is not None:
+            self._plan_executor.shutdown(wait=False, cancel_futures=True)
+            self._plan_executor = None
         self.arena = None
         self.state = EngineState.RELEASED
 
@@ -410,13 +425,19 @@ class Engine:
                 manifest.checksums[i] = checksum_of(cfg.checksum, raw[o:o + ln])
         self.stats.dequeued_blocks += n
         self.stats.bytes_compressed += int(manifest.total_raw)
-        # Decode sidecars (plans / sequence tables) build lazily at first
-        # decompress (ensure_plans): compression's product is the
-        # container, and the reference's compress likewise ends when
-        # output sits in pool memory (device.cc:157-238).
-        return CompressedUnit(manifest=manifest, refs=refs, engine=self,
+        # Decode sidecars: plan_build="background" starts the flat-wire
+        # build NOW on the plan worker — the compressor just produced the
+        # sequences, so the decode plan is compression's product too (the
+        # reference assembles its decode ops in us on the hot path,
+        # memory.cc:351-430).  ensure_plans joins the future; compress
+        # returns without waiting.  plan_build="lazy" keeps the pre-r5
+        # first-decompress behavior.
+        unit = CompressedUnit(manifest=manifest, refs=refs, engine=self,
                               _staging=staging, _staging_buf=staging_buf,
                               _committed=(cfg.commit == "eager"))
+        if cfg.use_tpu_kernels and cfg.plan_build == "background":
+            unit._plan_future = self._submit_plan_build(manifest, staging)
+        return unit
 
     # ------------------------------------------------------------------
     def _build_tables(self, manifest: BlockManifest, staging: np.ndarray
@@ -786,7 +807,7 @@ class Engine:
                         selc, dqp, dq_c[o:o + selc.size],
                         rap.reshape(e - s, -1, nrows),
                         ra_c[o:o + selc.size].reshape(selc.size, -1),
-                        nrows, dcap)
+                        nrows, dcap, ndense=dense[s:e])
                     o += selc.size
         else:
             dq_c = np.zeros((1, nrows, 128), np.int16)
@@ -1305,23 +1326,69 @@ class Engine:
             return unit._staging
         return np.asarray(self.arena.gather_burst([r.slot for r in unit.refs]))
 
+    def _submit_plan_build(self, manifest: BlockManifest,
+                           staging: np.ndarray):
+        """Queue a flat-wire plan build on the engine's single plan
+        worker (plan-during-emission).  The closure resolves to
+        ``("done", plans_or_None)``; exceptions propagate to the join in
+        ensure_plans, which falls back to a synchronous build."""
+        if self._plan_executor is None:
+            self._plan_executor = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="btpu-plan")
+
+        def build():
+            with self._plan_lock:
+                return ("done", self._build_plans(manifest, staging))
+
+        return self._plan_executor.submit(build)
+
+    def _join_plan_build(self, unit: CompressedUnit, cancel: bool = False):
+        """Resolve a unit's pending background plan build.
+
+        Returns ``("ok", plans_or_None)`` or ``("error", None)`` (the
+        caller rebuilds synchronously).  With ``cancel`` a not-yet-started
+        build is dropped; a running one is joined so its pooled buffers
+        can be reclaimed by the caller (recycle)."""
+        fut = unit._plan_future
+        if fut is None:
+            return ("error", None)
+        unit._plan_future = None
+        if cancel and fut.cancel():
+            return ("ok", None)
+        try:
+            _, plans = fut.result()
+            return ("ok", plans)
+        except Exception as e:
+            logger.warning(
+                "background plan build failed (%s: %s); will rebuild "
+                "synchronously", type(e).__name__, e)
+            return ("error", None)
+
     def ensure_plans(self, unit: CompressedUnit) -> None:
         """Build the unit's decode sidecar on demand (one attempt).
 
-        Plans (the fast kernel's wire) and, when planning fails, sequence
-        tables (the fallback kernel's) are decode-time artifacts: compress
-        and import defer them here so compression cost is codec+staging
-        only, like the reference.  The result is cached on the unit; the
-        host staging copy is dropped afterwards."""
+        Plans (the fast kernel's wire) are built in the background during
+        compress when plan_build="background" — this call then just joins
+        the worker.  Otherwise (lazy config, imported units) they build
+        here synchronously.  When planning fails, sequence tables (the
+        fallback kernel's sidecar) build instead.  The result is cached
+        on the unit; the host staging copy is dropped afterwards."""
         self._entry_guard()
         unit._check_live()
         if unit._planned:
             return
         staging = self._staging_rows(unit)
         # Deferred-commit units upload here, before the staging copy is
-        # dropped: plan building precedes every device decode.
+        # dropped: plan building precedes every device decode.  The
+        # upload dispatch is async, so a still-running background plan
+        # build overlaps with the host->device DMA.
         self._ensure_committed(unit)
-        plans = self._build_plans(unit.manifest, staging)
+        tag, plans = ("error", None)
+        if unit._plan_future is not None:
+            tag, plans = self._join_plan_build(unit)
+        if tag == "error":
+            with self._plan_lock:
+                plans = self._build_plans(unit.manifest, staging)
         if plans is not None:
             unit.plan_flat, unit.plan_comp_rows = plans
         elif unit.tables is None:
@@ -1350,11 +1417,22 @@ class Engine:
         contract as its arena-aliasing buffers)."""
         self._entry_guard()
         unit._check_live()
+        # Resolve any pending background plan build FIRST: a running
+        # build reads the staging buffer this recycle is about to free,
+        # and its pooled planes must return to the free list.
+        if unit._plan_future is not None:
+            _, plans = self._join_plan_build(unit, cancel=True)
+            if plans is not None:
+                pooled = plans[0].pop("_pooled", None)
+                if pooled is not None:
+                    with self._plan_lock:
+                        self._plan_free.append(pooled)
         count = self.arena.recycle(unit.refs)
         if unit.plan_flat is not None:
             pooled = unit.plan_flat.pop("_pooled", None)
             if pooled is not None:
-                self._plan_free.append(pooled)
+                with self._plan_lock:
+                    self._plan_free.append(pooled)
         unit._drop_staging()
         unit.recycled = True
         return count

@@ -220,12 +220,13 @@ void bt_plan_batch_abort(void* ctx);
 
 /* Compact + re-lay the dense planes of nsel selected blocks (threaded):
  * dq_dst[j] = dq_src[sel[j]] (nrows*128 int16 rows); ra_dst[j] = first
- * min(dcap, src_planes) anchor planes of block sel[j] transposed to the
- * kernel's [dcap, 128, nrows/128] column layout, zero-padded to dcap. */
+ * min(dcap, src_planes, ndense[sel[j]]) anchor planes of block sel[j]
+ * transposed to the kernel's [dcap, 128, nrows/128] column layout,
+ * zero-padded to dcap (ndense == NULL copies min(dcap, src_planes)). */
 void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
                         const int16_t* dq_src, int16_t* dq_dst,
                         const int32_t* ra_src, int32_t* ra_dst, int nrows,
-                        int src_planes, int dcap);
+                        int src_planes, int dcap, const int32_t* ndense);
 
 /* Debug/analysis: parse + fragment-build one block, dumping up to `cap`
  * fragments (dst, len, shift, space, aux).  Returns the true fragment

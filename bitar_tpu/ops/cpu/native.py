@@ -544,7 +544,8 @@ def plan_batch_abort(ctx) -> None:
 def plan_dense_pack(sel: np.ndarray, dq_src: np.ndarray,
                     dq_dst: np.ndarray, ra_src: np.ndarray,
                     ra_dst: np.ndarray, nrows: int, dcap: int,
-                    nthreads: int = 0) -> None:
+                    nthreads: int = 0,
+                    ndense: np.ndarray | None = None) -> None:
     """Threaded compaction + re-layout of dense planes (see
     bt_plan_dense_pack): dq_dst[j] = dq_src[sel[j]]; ra_dst[j] = block
     sel[j]'s first dcap anchor planes in the kernel's [dcap, 128,
@@ -559,13 +560,15 @@ def plan_dense_pack(sel: np.ndarray, dq_src: np.ndarray,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
         i16p, i16p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
     src_planes = ra_src.shape[1]
+    nd_ptr = (_i32ptr(np.ascontiguousarray(ndense, np.int32))
+              if ndense is not None else None)
     lib.bt_plan_dense_pack(
         nthreads, int(sel.shape[0]),
         _i64ptr(np.ascontiguousarray(sel, np.int64)),
         dq_src.ctypes.data_as(i16p), dq_dst.ctypes.data_as(i16p),
-        _i32ptr(ra_src), _i32ptr(ra_dst), nrows, src_planes, dcap)
+        _i32ptr(ra_src), _i32ptr(ra_dst), nrows, src_planes, dcap, nd_ptr)
 
 
 def plan_prof(reset: bool = True) -> dict[str, float]:

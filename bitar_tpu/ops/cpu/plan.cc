@@ -1126,7 +1126,7 @@ void bt_plan_batch_abort(void* ctx_ptr) {
 void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
                         const int16_t* dq_src, int16_t* dq_dst,
                         const int32_t* ra_src, int32_t* ra_dst, int nrows,
-                        int src_planes, int dcap) {
+                        int src_planes, int dcap, const int32_t* ndense) {
   const size_t dq_row = static_cast<size_t>(nrows) * 128;
   const int tiles = nrows / 128;
   RunWorkers(nthreads, nsel, [&](int j) {
@@ -1134,7 +1134,12 @@ void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
     std::memcpy(dq_dst + static_cast<size_t>(j) * dq_row,
                 dq_src + static_cast<size_t>(i) * dq_row,
                 dq_row * sizeof(int16_t));
-    const int ncopy = dcap < src_planes ? dcap : src_planes;
+    // Only the block's OWN dense planes carry data (the kernel reads
+    // planes [0, dense[i]) for block i); packing all dcap planes for
+    // every block measured 3x the real copy on mixed corpora (dcap is
+    // the unit-wide pow-2 max; an RLE block needs 1 plane).
+    int ncopy = dcap < src_planes ? dcap : src_planes;
+    if (ndense != nullptr && ndense[i] < ncopy) ncopy = ndense[i];
     for (int p = 0; p < ncopy; ++p) {
       const int32_t* src = ra_src +
           (static_cast<size_t>(i) * src_planes + p) * nrows;
@@ -1149,7 +1154,7 @@ void bt_plan_dense_pack(int nthreads, int nsel, const int64_t* sel,
         }
       }
     }
-    for (int p = src_planes; p < dcap; ++p) {
+    for (int p = ncopy; p < dcap; ++p) {
       std::memset(ra_dst + (static_cast<size_t>(j) * dcap + p) * nrows, 0,
                   sizeof(int32_t) * nrows);
     }
