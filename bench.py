@@ -100,9 +100,14 @@ def main() -> int:
     probe_ok = threading.Event()
 
     def _probe(k: int):
+        # Identical program every attempt (k stays a runtime array
+        # argument): retries issue a fresh RPC, not a fresh compile — a
+        # per-attempt HLO constant would queue minutes of tunnel compiles.
         import numpy as _np
+        import jax as _jax
         import jax.numpy as _jnp
-        _np.asarray((_jnp.ones((8, 128)) + k).sum())
+        _np.asarray(_jax.jit(lambda v: v.sum())(
+            _jnp.full((8, 128), float(k))))
         probe_ok.set()
 
     deadline = time.monotonic() + float(os.environ.get(

@@ -210,6 +210,13 @@ class CompressedUnit:
 class Engine:
     """One device's compression/decompression runtime."""
 
+    # Process-wide plan-scratch pools shared by every engine (see
+    # __init__): transient per-chunk planes, recyclable compact planes,
+    # and the lock serializing planner access to them.
+    _PLAN_CHUNK_SCRATCH: dict[tuple, tuple] = {}
+    _PLAN_FREE: list[tuple[np.ndarray, np.ndarray]] = []
+    _PLAN_LOCK = threading.Lock()
+
     def __init__(self, config: EngineConfig, device=None, device_index: int = 0):
         if config.block_size % 128 != 0:
             raise StatusError(Status.Invalid(
@@ -231,13 +238,17 @@ class Engine:
         # unit-owned compact dense planes come from _plan_free and
         # return on recycle() — the reference's DeviceMemory take/put
         # discipline (memory.cc:161-209) applied to host plan scratch.
-        self._plan_chunk_scratch: dict[tuple, np.ndarray] = {}
-        self._plan_free: list[tuple[np.ndarray, np.ndarray]] = []
+        # PROCESS-wide pools (class attributes): a fresh engine re-faulting
+        # ~0.5 GB of planner scratch measured over 1 s on this microVM;
+        # the pool outlives engines the way the reference's memzone pool
+        # outlives queue pairs.  All access is under _plan_lock.
+        self._plan_chunk_scratch = Engine._PLAN_CHUNK_SCRATCH
+        self._plan_free = Engine._PLAN_FREE
         # Plan builds run on ONE worker thread (plan-during-emission:
         # compress submits, ensure_plans joins) — the single worker
         # serializes access to the chunk-scratch pool; _plan_lock covers
         # the direct ensure_plans path and _plan_free mutations.
-        self._plan_lock = threading.Lock()
+        self._plan_lock = Engine._PLAN_LOCK
         self._plan_executor: concurrent.futures.ThreadPoolExecutor | None = None
 
     # ------------------------------------------------------------------
@@ -634,6 +645,30 @@ class Engine:
                 status[i] = e.status.to_int()
         return dst_len, status
 
+    def _pool_take(self, need_wire: int) -> dict:
+        """Take a plan-buffer grant from the process-wide free list
+        (caller holds _plan_lock via _build_plans).  The grant is a dict
+        of 1-D capacity arrays: se/sh (flat wire) now, dq/ra grown on
+        demand by :meth:`_pool_grow`; recycle() returns the whole grant."""
+        best = None
+        for k, g in enumerate(self._plan_free):
+            if g["se"].size >= need_wire and (
+                    best is None or g["se"].size < self._plan_free[best]["se"].size):
+                best = k
+        if best is not None:
+            return self._plan_free.pop(best)
+        return {"se": np.empty(need_wire, np.int16),
+                "sh": np.empty(need_wire, np.int32),
+                "dq": np.empty(0, np.int16), "ra": np.empty(0, np.int32)}
+
+    @staticmethod
+    def _pool_grow(grant: dict, need_dq: int, need_ra: int) -> None:
+        """Ensure the grant's dense-plane capacities."""
+        if grant["dq"].size < need_dq:
+            grant["dq"] = np.empty(need_dq, np.int16)
+        if grant["ra"].size < need_ra:
+            grant["ra"] = np.empty(need_ra, np.int32)
+
     # Deep-plan budget: 96 stranded zstd blocks (and band-constrained
     # schedules) on the host path at CAPACITY; 160 keeps them on device —
     # measured zstd decompress 0.09 -> 1.44 GB/s.  Cost is host plan
@@ -768,8 +803,16 @@ class Engine:
         S = int(p_used.astype(np.int64).sum())
         s_pad = -(-(S + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
         tiles = nrows // LANES
-        se = np.zeros((s_pad, tiles, LANES), np.int16)
-        sh = np.zeros((s_pad, tiles, LANES), np.int32)
+        # Wire buffers from the process-wide pool (fresh ~165 MB of
+        # np.zeros measured ~1 s of page faults per unit on this VM).
+        # plan_batch_pack densely covers pass rows [0, S); only the
+        # padding tail needs explicit zeroing on a reused buffer.
+        need_wire = s_pad * tiles * LANES
+        pooled = self._pool_take(need_wire=need_wire)
+        se = pooled["se"][:need_wire].reshape(s_pad, tiles, LANES)
+        sh = pooled["sh"][:need_wire].reshape(s_pad, tiles, LANES)
+        se[S:] = 0
+        sh[S:] = 0
         for ctx, s, e in ctxs:
             native.plan_batch_pack(ctx, p_off[s:e], se, sh)
         # Dense comp-pass planes (plan.cc Densify): per-byte (pass,
@@ -784,21 +827,14 @@ class Engine:
         nd = int((dense > 0).sum())
         dmax = max(1, int(dense.max(initial=0)))
         dcap = 1 << (dmax - 1).bit_length()
-        pooled = None
         if nd:
-            # Unit-owned compact planes come from the engine's free list
-            # (returned by recycle) — see _plan_free in __init__.
+            # Unit-owned compact planes come from the same pooled grant
+            # (returned whole by recycle).
             need_dq = nd * nrows * 128
             need_ra = nd * dcap * nrows
-            for k, (fdq, fra) in enumerate(self._plan_free):
-                if fdq.size >= need_dq and fra.size >= need_ra:
-                    pooled = self._plan_free.pop(k)
-                    break
-            if pooled is None:
-                pooled = (np.empty(need_dq, np.int16),
-                          np.empty(need_ra, np.int32))
-            dq_c = pooled[0][:need_dq].reshape(nd, nrows, 128)
-            ra_c = pooled[1][:need_ra].reshape(nd, dcap, LANES, tiles)
+            self._pool_grow(pooled, need_dq=need_dq, need_ra=need_ra)
+            dq_c = pooled["dq"][:need_dq].reshape(nd, nrows, 128)
+            ra_c = pooled["ra"][:need_ra].reshape(nd, dcap, LANES, tiles)
             o = 0
             for (ctx, s, e), dqp, rap in zip(ctxs, dq_parts, ra_parts):
                 selc = np.flatnonzero(dense[s:e] > 0).astype(np.int64)
@@ -818,8 +854,7 @@ class Engine:
                  "p0": p0.astype(np.int32), "se": se, "shift": sh,
                  "dq": dq_c, "row_a": ra_c, "dense": dense,
                  "dq_idx": dq_idx}
-        if pooled is not None:
-            plans["_pooled"] = pooled
+        plans["_pooled"] = pooled
         plans["host_blocks"] = np.flatnonzero(~ok).astype(np.int32)
         # Source-plane bytes per block: compressed stream, or the decoded
         # literal plane for zstd (always <= block_size <= nrows*128).

@@ -3,9 +3,9 @@
 from . import multihost
 from .ring import distributed_step_ring_flat
 from .pipeline import (
-    distributed_step,
+    distributed_step_tables_fallback,
     distributed_step_flat,
-    prepare_distributed_step,
+    prepare_distributed_step_tables_fallback,
     prepare_flat_wires_for_recv,
     prepare_ring_flat_wires_for_recv,
     reorder_tables_for_recv,
@@ -24,7 +24,7 @@ __all__ = [
     "BLOCKS_AXIS",
     "multihost",
     "ShufflePlan",
-    "distributed_step",
+    "distributed_step_tables_fallback",
     "distributed_step_flat",
     "distributed_step_ring_flat",
     "execute_shuffle",
@@ -32,7 +32,7 @@ __all__ = [
     "make_mesh",
     "pad_block_count",
     "plan_shuffle",
-    "prepare_distributed_step",
+    "prepare_distributed_step_tables_fallback",
     "prepare_flat_wires_for_recv",
     "prepare_ring_flat_wires_for_recv",
     "prepare_sharded_batch",

@@ -50,11 +50,19 @@ def reorder_tables_for_recv(plan: ShufflePlan,
     jax.jit,
     static_argnames=("mesh", "rows_per_pair", "comp_rows", "out_rows",
                      "seq_cap", "block_size", "interpret"))
-def distributed_step(slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off,
-                     mlen, out_pos, *, mesh: Mesh, rows_per_pair: int,
-                     comp_rows: int, out_rows: int, seq_cap: int,
-                     block_size: int, interpret: bool = False):
-    """One fused shuffle+decode step over the mesh.
+def distributed_step_tables_fallback(
+        slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off,
+        mlen, out_pos, *, mesh: Mesh, rows_per_pair: int,
+        comp_rows: int, out_rows: int, seq_cap: int,
+        block_size: int, interpret: bool = False):
+    """One fused shuffle+decode step over the mesh — SEQUENCE-TABLE
+    FALLBACK wire.
+
+    The production pod-level decode is ``distributed_step_flat`` /
+    ``distributed_step_ring_flat`` (the engine's one hot loop, the
+    reference's ``device.cc:197-226``); this variant exists for imported
+    units whose blocks fail flat planning (capacity) and ride the
+    sequence-walk kernel instead.  It is not part of the dryrun.
 
     Args (all leading dims sharded on the blocks axis):
       slot_rows: [nblocks, slot]   uint8 compressed slot rows (pre-shuffle)
@@ -94,14 +102,14 @@ def distributed_step(slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off,
     )(slot_rows, send_idx, valid, nseq, lit_ptr, lit_len, off, mlen, out_pos)
 
 
-def prepare_distributed_step(mesh: Mesh, plan: ShufflePlan,
-                             slot_rows: np.ndarray,
-                             tables: dict[str, np.ndarray],
-                             nseq: np.ndarray, block_size: int):
-    """Host-side prep: shard the inputs and receive-order the tables.
+def prepare_distributed_step_tables_fallback(
+        mesh: Mesh, plan: ShufflePlan, slot_rows: np.ndarray,
+        tables: dict[str, np.ndarray], nseq: np.ndarray, block_size: int):
+    """Host-side prep for the sequence-table FALLBACK step: shard the
+    inputs and receive-order the tables.
 
-    Returns (device_args tuple, static kwargs dict) for ``distributed_step``.
-    """
+    Returns (device_args tuple, static kwargs dict) for
+    ``distributed_step_tables_fallback``."""
     d, rpp = plan.num_devices, plan.rows_per_pair
     per_src = slot_rows.shape[0] // d
     recv_tables, recv_nseq = reorder_tables_for_recv(plan, tables, nseq)
