@@ -181,6 +181,61 @@ def worker(args) -> int:
                   step_ms=round(best * 1e3, 2),
                   blocks_per_s=round(blocks_per_s, 1),
                   verified_blocks=checked)
+
+    if args.phases and args.step == "flat":
+        # Phase attribution: the fused step = stage+exchange | decode.
+        # Two auxiliary programs time each phase alone so a scaling loss
+        # can be LOCATED (cross-process collective vs per-shard decode)
+        # instead of inferred — round-4 verdict: 0.698 with no breakdown.
+        from jax.sharding import PartitionSpec as P
+
+        from bitar_tpu.ops.pallas.lz4_decode_flat import (
+            bias_planes,
+            decode_blocks_flat,
+        )
+        rpp = splan.rows_per_pair
+
+        def exch_local(rows_l, send_idx_l, valid_l):
+            staged = rows_l[send_idx_l[0, 0]] * valid_l[0, 0][:, None].astype(
+                rows_l.dtype)
+            staged = staged.reshape(d, rpp, slot)
+            recv = jax.lax.all_to_all(staged, BLOCKS_AXIS, split_axis=0,
+                                      concat_axis=0)
+            return recv.reshape(d * rpp, slot)
+
+        exch = jax.jit(jax.shard_map(
+            exch_local, mesh=mesh, in_specs=(P(BLOCKS_AXIS),) * 3,
+            out_specs=P(BLOCKS_AXIS), check_vma=False))
+
+        def dec_local(recv_l, pu_l, po_l, p0_l, dn_l, di_l, se_l, sh_l,
+                      dq_l, ra_l):
+            planes = bias_planes(recv_l, comp_rows)
+            decoded = decode_blocks_flat(
+                planes, pu_l[0], po_l[0], p0_l[0], se_l[0], sh_l[0], None,
+                dq_l[0], ra_l[0], dn_l[0], di_l[0],
+                comp_rows=comp_rows, out_rows=NROWS, interpret=True)
+            return decoded.reshape(recv_l.shape[0], BLOCK)
+
+        dec = jax.jit(jax.shard_map(
+            dec_local, mesh=mesh, in_specs=(P(BLOCKS_AXIS),) * 10,
+            out_specs=P(BLOCKS_AXIS), check_vma=False))
+
+        recv_rows = exch(*dev_args[:3])
+        jax.block_until_ready(recv_rows)
+        dec_args = (recv_rows,) + dev_args[3:]
+        jax.block_until_ready(dec(*dec_args))     # compile
+
+        def best_of(fn):
+            b = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn())
+                b = min(b, time.perf_counter() - t0)
+            return round(b * 1e3, 2)
+
+        result["exchange_ms"] = best_of(lambda: exch(*dev_args[:3]))
+        result["decode_ms"] = best_of(lambda: dec(*dec_args))
+
     print(json.dumps(result))
     return 0
 
@@ -212,7 +267,8 @@ def launch(args) -> int:
             "--devices-per-process", str(args.devices_per_process),
             "--blocks", str(args.blocks), "--reps", str(args.reps),
             "--step", args.step,
-            "--skew-bucket-log", str(args.skew_bucket_log)]
+            "--skew-bucket-log", str(args.skew_bucket_log)] + (
+                ["--phases"] if args.phases else [])
         env = dict(os.environ)
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
@@ -238,7 +294,8 @@ def launch(args) -> int:
         "--devices-per-process", str(args.devices_per_process),
         "--blocks", str(base_blocks), "--reps", str(args.reps),
         "--step", args.step,
-        "--skew-bucket-log", str(args.skew_bucket_log)]
+        "--skew-bucket-log", str(args.skew_bucket_log)] + (
+            ["--phases"] if args.phases else [])
     bp = subprocess.run(base_cmd, capture_output=True, timeout=args.timeout,
                         cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                             os.path.abspath(__file__)))))
@@ -249,6 +306,17 @@ def launch(args) -> int:
 
     multi = outs[0]
     efficiency = (multi["blocks_per_s"] / base["blocks_per_s"]) / args.launch
+    phases = None
+    if args.phases and "exchange_ms" in multi and "exchange_ms" in base:
+        phases = dict(
+            multi_exchange_ms=multi["exchange_ms"],
+            multi_decode_ms=multi["decode_ms"],
+            single_exchange_ms=base["exchange_ms"],
+            single_decode_ms=base["decode_ms"],
+            exchange_ratio=round(multi["exchange_ms"]
+                                 / max(base["exchange_ms"], 1e-9), 3),
+            decode_ratio=round(multi["decode_ms"]
+                               / max(base["decode_ms"], 1e-9), 3))
     artifact = dict(
         config="BASELINE config 5: multi-process fused shuffle+decode",
         multi=multi, single=base,
@@ -258,6 +326,8 @@ def launch(args) -> int:
         note=("virtual CPU devices; interpret-mode kernels — the number "
               "exercises the full jax.distributed + global-mesh + "
               "cross-process collective path, not TPU silicon"))
+    if phases is not None:
+        artifact["phase_attribution"] = phases
     blob = json.dumps(artifact, indent=1)
     print(blob)
     if args.out:
@@ -286,6 +356,10 @@ def main(argv=None) -> int:
     p.add_argument("--pin-cores", action="store_true",
                    help="give each worker (and the baseline) a disjoint, "
                         "equal core set via taskset")
+    p.add_argument("--phases", action="store_true",
+                   help="also time exchange-only and decode-only phase "
+                        "programs (flat step): locates a scaling loss in "
+                        "the cross-process collective vs the decode")
     p.add_argument("--skew-bucket-log", type=int, default=0,
                    help="coarsen LPT shuffle ordering: bucket block sizes "
                         "by log2(size) >> K before the balance sort "
