@@ -24,7 +24,8 @@ from .config import (
     capabilities_for_platform,
     compress_bound,
 )
-from .engine.device import CompressedUnit, Engine, EngineState, EngineStats
+from .engine.device import (CompressedUnit, Engine, EngineState,
+                            EngineStats, prepare_batched_decode)
 from .engine.driver import Driver
 from .engine.stream import (
     ASYNC_RETURN_OK,
@@ -56,6 +57,7 @@ __all__ = [
     "DeviceCapabilities",
     "Driver",
     "Engine",
+    "prepare_batched_decode",
     "EngineConfig",
     "EngineState",
     "EngineStats",

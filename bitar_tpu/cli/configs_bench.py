@@ -1,8 +1,8 @@
 """BASELINE-config coverage harness: runs configs 1-3 and records one
 artifact tying every BASELINE.json config to a runnable command and a
 measured result (configs 4 and 5 have their own harnesses/artifacts:
-``--mode skewed`` -> SKEWED_r02.json, ``multihost_bench`` ->
-MULTIHOST_r02.json).
+``cli.demo --mode skewed`` -> SKEWED_r*.json, ``cli.multihost_bench`` ->
+MULTIHOST_r*.json; the latest round's files are the official ones).
 
   1. 64 MiB Parquet file, synchronous LZ4 round-trip, bit-exact verify
      (reference: demo_app sync suite, ``demo_app.cc:487-546``).
@@ -265,6 +265,45 @@ def _decode_scaling(datas: list[bytes], codecs: list, reps: int = 3) -> float:
     return best
 
 
+def _decode_scaling_batched(datas: list[bytes], codecs: list,
+                            reps: int = 3) -> float:
+    """N streams' decodes merged into ONE dispatch chain
+    (``prepare_batched_decode``): the TPU-idiomatic multi-stream shape —
+    one launch with one fixed dispatch cost instead of N small
+    launches.  Units compress/plan untimed; the timed region is the
+    batched launch + tiny sync.  Output verified bit-exact per stream
+    (untimed)."""
+    import bitar_tpu as bt
+    from bitar_tpu.engine.device import prepare_batched_decode
+
+    engines, units = [], []
+    for s, codec in enumerate(codecs):
+        knobs = dict(_engine_knobs(), burst_size=64)
+        cfg = bt.EngineConfig(
+            codec=codec, block_size=128 * 1024,
+            max_pool_slots=len(datas[s]) // (128 * 1024) + 16, **knobs)
+        eng = bt.Engine(cfg).initialize()
+        unit = eng.compress(datas[s])
+        engines.append(eng)
+        units.append(unit)
+    launch, slices = prepare_batched_decode(list(zip(engines, units)))
+    nrows = 128 * 1024 // 128
+    host = np.asarray(launch())                      # warm + verify
+    for (lo, hi), d in zip(slices, datas):
+        got = host[lo:hi, :nrows, :].reshape(-1).tobytes()[:len(d)]
+        assert got == d, "batched stream decode not bit-exact"
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = launch()
+        np.asarray(out[0, 0, :1])                    # tiny sync
+        best = min(best, time.perf_counter() - t0)
+    for eng, unit in zip(engines, units):
+        eng.recycle(unit)
+        eng.release()
+    return best
+
+
 def config3_mixed_streams() -> dict:
     """8 concurrent streams (4 LZ4 + 4 Zstd engines) — the reference
     async suite's scaling question (``demo_app.cc:548-693``) answered
@@ -291,6 +330,7 @@ def config3_mixed_streams() -> dict:
                for s in range(8)]
 
     dec8 = _decode_scaling(datas, codecs8)
+    dec8b = _decode_scaling_batched(datas, codecs8)
     lz4_bytes = b"".join(datas[s] for s in range(8) if s % 2 == 0)
     zstd_bytes = b"".join(datas[s] for s in range(8) if s % 2 == 1)
     dec_lz4 = _decode_scaling([lz4_bytes], [bt.Codec.LZ4])
@@ -302,9 +342,11 @@ def config3_mixed_streams() -> dict:
         config=3, input="8 streams x 8 MiB (4 LZ4 + 4 Zstd)",
         bytes=total,
         decode_GBps=round(total / dec8 / 1e9, 3),
+        decode_batched_GBps=round(total / dec8b / 1e9, 3),
         decode_one_stream_GBps=round(total / dec1 / 1e9, 3),
         decode_matched_serial_GBps=round(total / (dec_lz4 + dec_zstd) / 1e9, 3),
         decode_stream_scaling=round((dec_lz4 + dec_zstd) / dec8, 2),
+        decode_batched_scaling=round((dec_lz4 + dec_zstd) / dec8b, 2),
         round_trip_GBps=round(total / wall8 / 1e9, 3),
         round_trip_one_stream_GBps=round(total / wall1 / 1e9, 3),
         bit_exact=True)
@@ -338,9 +380,9 @@ def main(argv=None) -> int:
         print(json.dumps(runs[-1]), file=sys.stderr)
 
     artifact = dict(
-        note=("BASELINE.json configs 1-3; config 4 -> SKEWED_r02.json "
-              "(--mode skewed), config 5 -> MULTIHOST_r02.json "
-              "(multihost_bench)"),
+        note=("BASELINE.json configs 1-3; config 4 -> the latest "
+              "SKEWED_r*.json (cli.demo --mode skewed), config 5 -> the "
+              "latest MULTIHOST_r*.json (cli.multihost_bench)"),
         runs=runs)
     blob = json.dumps(artifact, indent=1)
     print(blob)

@@ -1473,6 +1473,116 @@ class Engine:
         return count
 
 
+def prepare_batched_decode(items):
+    """Merge several units' decodes into ONE dispatch chain.
+
+    ``items``: list of ``(engine, unit)`` pairs — possibly different
+    engines (mixed codecs), same ``block_size``.  Returns ``(launch,
+    slices)``: ``launch()`` dispatches a single flat-kernel decode of
+    EVERY unit's blocks and returns ``[total_blocks, nrows, 128]`` uint8
+    device rows; ``slices[i]`` is unit i's ``(start, stop)`` row range.
+
+    This is the TPU answer to the reference's async multi-stream fan-out
+    (``demo_app.cc:548-693``): where bitar adds throughput by giving
+    each stream its own queue pair + lcore, one TPU chip adds throughput
+    by making the batch BIGGER — N streams' blocks fuse into one kernel
+    launch with one fixed dispatch cost, instead of N serialized small
+    launches (measured: 8 x 8 MiB streams dispatched separately decode
+    at half the rate of the same bytes in one launch).
+    """
+    if not items:
+        raise StatusError(Status.Invalid("prepare_batched_decode: no units"))
+    block_size = items[0][0].config.block_size
+    nrows = block_size // 128
+    plans_list = []
+    for eng, unit in items:
+        if eng.config.block_size != block_size:
+            raise StatusError(Status.Invalid(
+                "prepare_batched_decode: mixed block sizes"))
+        eng._entry_guard()
+        unit._check_live()
+        eng.ensure_plans(unit)
+        p = unit.plan_flat
+        if p is None or p["host_blocks"].size or "bands" in p:
+            raise StatusError(Status.NotImplemented(
+                "prepare_batched_decode requires fully-planned unbanded "
+                "units"))
+        plans_list.append(p)
+
+    comp_rows = max(u.plan_comp_rows for _, u in items)
+    gather_rows = max(p.get("gather_rows", comp_rows) for p in plans_list)
+    tiles = nrows // LANES
+
+    # Merge the flat wires: pass rows re-base by the running S, dense
+    # planes by the running dq row count; dcap pads to the batch max.
+    S_list = [int(p["p_used"].astype(np.int64).sum()) for p in plans_list]
+    S_total = int(np.sum(S_list))
+    s_pad = -(-(S_total + DCHUNK) // _S_QUANTUM) * _S_QUANTUM
+    se = np.zeros((s_pad, tiles, LANES), np.int16)
+    sh = np.zeros((s_pad, tiles, LANES), np.int32)
+    dcap = max(p["row_a"].shape[1] for p in plans_list)
+    pu_parts, po_parts, p0_parts, dn_parts, di_parts = [], [], [], [], []
+    dq_parts, ra_parts = [], []
+    s_base = 0
+    nd_base = 0
+    for p in plans_list:
+        S_i = int(p["p_used"].astype(np.int64).sum())
+        se[s_base:s_base + S_i] = p["se"][:S_i]
+        sh[s_base:s_base + S_i] = p["shift"][:S_i]
+        pu_parts.append(p["p_used"])
+        po_parts.append(p["p_off"].astype(np.int64) + s_base)
+        p0_parts.append(p["p0"])
+        dn_parts.append(p["dense"])
+        di_parts.append(p["dq_idx"] + nd_base)
+        dq_parts.append(np.asarray(p["dq"]))
+        ra = np.asarray(p["row_a"])
+        if ra.shape[1] < dcap:
+            ra = np.pad(ra, ((0, 0), (0, dcap - ra.shape[1]),
+                             (0, 0), (0, 0)))
+        ra_parts.append(ra)
+        s_base += S_i
+        nd_base += dq_parts[-1].shape[0]
+
+    p_used = jnp.asarray(np.concatenate(pu_parts))
+    p_off = jnp.asarray(np.concatenate(po_parts).astype(np.int32))
+    p0 = jnp.asarray(np.concatenate(p0_parts))
+    dense = jnp.asarray(np.concatenate(dn_parts))
+    dq_idx = jnp.asarray(np.concatenate(di_parts))
+    se_dev = jnp.asarray(se)
+    sh_dev = jnp.asarray(sh)
+    dq_dev = jnp.asarray(np.concatenate(dq_parts))
+    ra_dev = jnp.asarray(np.concatenate(ra_parts))
+
+    # Stage every unit's planes once (same shape via the common
+    # comp_rows), with zstd literal-plane overrides applied per unit.
+    plane_parts = []
+    slices = []
+    start = 0
+    for (eng, unit), p in zip(items, plans_list):
+        rows = eng.arena.gather_burst([r.slot for r in unit.refs])
+        pl_i = bias_planes(rows, comp_rows)
+        lit_dev, lit_pos = unit.lit_device_arrays(comp_rows)
+        if lit_dev is not None:
+            pl_i = pl_i.at[jnp.asarray(sorted(lit_pos))].set(lit_dev)
+        plane_parts.append(pl_i)
+        slices.append((start, start + unit.nblocks))
+        start += unit.nblocks
+    planes = jnp.concatenate(plane_parts, axis=0)
+
+    cfg0 = items[0][0].config
+
+    def launch():
+        return decode_blocks_flat(
+            planes, p_used, p_off, p0, se_dev, sh_dev, None,
+            dq_dev, ra_dev, dense, dq_idx,
+            comp_rows=comp_rows, out_rows=nrows, gather_rows=gather_rows,
+            interpret=cfg0.interpret,
+            pipeline_depth=min(2, cfg0.pipeline_depth),
+            dense_q=cfg0.dense_q, dense_sub=cfg0.dense_sub)
+
+    return launch, slices
+
+
 # ---------------------------------------------------------------------------
 # Device-side staging transforms (jit-cached per static shape)
 

@@ -129,16 +129,20 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     nchunk = L // CHUNK
     cand = jnp.where(valid, i[None, :], L)
     cmin = cand.reshape(n, nchunk, CHUNK).min(axis=2)      # [N, nchunk]
-    cnext = lax.associative_scan(
-        jnp.minimum, cmin.reshape(n, nseg, cpseg), reverse=True, axis=2
-    ).reshape(n, nchunk)
-    cnext = jnp.concatenate([cnext, jnp.full((n, 1), L, jnp.int32)], axis=1)
+    # Per-segment chunk navigation with an L sentinel column: the walk
+    # below gathers SEGMENT-LOCAL slices (operand rows of seg / cpseg+1
+    # elements, not L) — the full-plane take_along_axis was the measured
+    # parse hotspot (~16 ms per 256 x 128 KiB launch).
+    cn3 = lax.associative_scan(
+        jnp.minimum, cmin.reshape(n, nseg, cpseg), reverse=True, axis=2)
+    cn3 = jnp.concatenate(
+        [cn3, jnp.full((n, nseg, 1), L, jnp.int32)], axis=2)
     # One packed side-plane so each walk step pays TWO gathers (XLA TPU
     # gathers carry a large fixed cost): mlen_t fits 11 bits (match cap
     # <= seg <= 1024), moff 16 bits above it.
-    pk = mlen_t | (moff.astype(jnp.int32) << 11)
-    pk_p = jnp.concatenate([pk, jnp.zeros((n, 1), jnp.int32)], axis=1)
+    pk3 = (mlen_t | (moff.astype(jnp.int32) << 11)).reshape(n, nseg, seg)
 
+    seg_base = (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :]  # [1, G]
     seg_ends = (jnp.arange(nseg, dtype=jnp.int32) + 1) * seg      # [G]
     worst = seg // min_match + 1
     nstep = worst if wcap is None else min(wcap, worst)
@@ -155,14 +159,17 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
 
     def step(carry):
         pos, t, P, M, O = carry
-        inseg = pos < seg_ends[None, :]
-        pkj = jnp.take_along_axis(pk_p, jnp.minimum(pos, L), axis=1)
-        mm = pkj & 0x7FF
+        loc = pos - seg_base                   # segment-local cursor
+        inseg = loc < seg
+        pkj = jnp.take_along_axis(
+            pk3, jnp.clip(loc, 0, seg - 1)[:, :, None], axis=2)[..., 0]
+        mm = jnp.where(inseg, pkj & 0x7FF, 0)
         here = inseg & (mm > 0)
         # No match at the cursor: jump to the first match past the
         # cursor's chunk (within the segment; L = none -> inactive).
         nxt_c = jnp.take_along_axis(
-            cnext, jnp.minimum((pos >> 6) + 1, nchunk), axis=1)
+            cn3, jnp.clip((loc >> 6) + 1, 0, cpseg)[:, :, None],
+            axis=2)[..., 0]
         jump = jnp.where(inseg & (nxt_c < seg_ends[None, :]), nxt_c, L)
         P = lax.dynamic_update_slice_in_dim(
             P, jnp.where(here, pos, -1)[None], t, axis=0)

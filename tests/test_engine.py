@@ -198,3 +198,41 @@ def test_import_rejects_block_size_mismatch(engine, rng):
         assert "block_size" in str(ei.value)
     finally:
         other.release()
+
+
+def test_batched_multi_stream_decode():
+    """prepare_batched_decode merges mixed-codec units into one launch
+    and stays bit-exact per stream (the TPU answer to the reference's
+    async fan-out, demo_app.cc:548-693)."""
+    import bitar_tpu as bt
+    from bitar_tpu.engine.device import prepare_batched_decode
+
+    block = 16 * 1024
+    nrows = block // 128
+    items, datas = [], []
+    for s_i, codec in enumerate([bt.Codec.LZ4, bt.Codec.ZSTD,
+                                 bt.Codec.SNAPPY]):
+        cfg = bt.EngineConfig(codec=codec, block_size=block, burst_size=16,
+                              max_pool_slots=64, commit="deferred",
+                              use_tpu_kernels=True, interpret=True)
+        eng = bt.Engine(cfg).initialize()
+        rng = np.random.default_rng(40 + s_i)
+        parts = []
+        for i in range(5):
+            k = i % 3
+            if k == 0:
+                parts.append(((b"stream %d " % s_i) * (block // 9 + 1))[:block])
+            elif k == 1:
+                parts.append(rng.integers(0, 8, block, np.uint8).tobytes())
+            else:
+                parts.append(rng.integers(0, 256, block, np.uint8).tobytes())
+        d = b"".join(parts)
+        items.append((eng, eng.compress(d)))
+        datas.append(d)
+    launch, slices = prepare_batched_decode(items)
+    out = np.asarray(launch())
+    for (lo, hi), d in zip(slices, datas):
+        assert out[lo:hi, :nrows, :].reshape(-1).tobytes() == d
+    for eng, unit in items:
+        eng.recycle(unit)
+        eng.release()
