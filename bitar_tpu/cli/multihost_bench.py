@@ -304,6 +304,38 @@ def launch(args) -> int:
         raise SystemExit("baseline worker failed")
     base = json.loads(bp.stdout.decode().strip().splitlines()[-1])
 
+    # Concurrent-INDEPENDENT baseline: N 1-process workers running
+    # simultaneously (no jax.distributed, disjoint pinned cores, same
+    # per-process work).  Any slowdown vs the solo baseline is MACHINE
+    # contention (shared DRAM bandwidth under N interpret-mode decoders)
+    # — not the distributed runtime.  multi/concurrent isolates what
+    # jax.distributed itself costs.
+    conc = None
+    if args.phases:
+        cprocs = []
+        for pid in range(args.launch):
+            ccmd = pin(pid) + [
+                sys.executable, "-m", "bitar_tpu.cli.multihost_bench",
+                "--processes", "1", "--process-id", "0",
+                "--devices-per-process", str(args.devices_per_process),
+                "--blocks", str(base_blocks), "--reps", str(args.reps),
+                "--step", args.step,
+                "--skew-bucket-log", str(args.skew_bucket_log)]
+            cprocs.append(subprocess.Popen(
+                ccmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))))
+        crs = []
+        for pid, p in enumerate(cprocs):
+            so, se_ = p.communicate(timeout=args.timeout)
+            if p.returncode != 0:
+                print(se_.decode()[-2000:], file=sys.stderr)
+                raise SystemExit(f"concurrent baseline {pid} failed")
+            crs.append(json.loads(so.decode().strip().splitlines()[-1]))
+        conc = dict(
+            step_ms=[r["step_ms"] for r in crs],
+            blocks_per_s=round(sum(r["blocks_per_s"] for r in crs), 1))
+
     multi = outs[0]
     efficiency = (multi["blocks_per_s"] / base["blocks_per_s"]) / args.launch
     phases = None
@@ -328,6 +360,10 @@ def launch(args) -> int:
               "cross-process collective path, not TPU silicon"))
     if phases is not None:
         artifact["phase_attribution"] = phases
+    if conc is not None:
+        artifact["concurrent_independent"] = conc
+        artifact["efficiency_vs_concurrent"] = round(
+            multi["blocks_per_s"] / max(conc["blocks_per_s"], 1e-9), 3)
     blob = json.dumps(artifact, indent=1)
     print(blob)
     if args.out:
