@@ -229,6 +229,45 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     )
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _layout_from_records(P, M, O, overflow, lengths):
+    """Sequence records -> emission layout (the parse_and_size tail).
+
+    P/M/O: [N, nslots] match position / truncated length / offset in
+    position order (P = -1 empty), overflow [N] bool, lengths [N].
+    Returns the same layout dict as :func:`parse_and_size`.
+    """
+    n = P.shape[0]
+    taken = P >= 0
+    ends = jnp.where(taken, P + M, 0)
+    cend = lax.associative_scan(jnp.maximum, ends, axis=1)
+    prev_end = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), cend[:, :-1]], axis=1)
+    lit_len = jnp.where(taken, P - prev_end, 0)
+    mv = jnp.where(taken, M - 4, -1)          # -1 marks an empty slot
+    sizes = jnp.where(
+        taken, 1 + _ext_bytes(lit_len) + lit_len + 2 + _ext_bytes(mv), 0)
+
+    final_start = cend[:, -1]
+    final_lit = lengths - final_start
+    size_f = 1 + _ext_bytes(final_lit) + final_lit
+
+    csum = jnp.cumsum(sizes, axis=1)
+    starts = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
+    total = jnp.where(overflow, lengths + 1, csum[:, -1] + size_f)
+    return dict(
+        lit_len=jnp.concatenate([lit_len, final_lit[:, None]], axis=1),
+        lit_start=jnp.concatenate([prev_end, final_start[:, None]], axis=1),
+        mv=jnp.concatenate([mv, jnp.full((n, 1), -1, jnp.int32)], axis=1),
+        off=jnp.concatenate([O, jnp.zeros((n, 1), jnp.int32)], axis=1),
+        taken=jnp.concatenate([taken, jnp.ones((n, 1), bool)], axis=1),
+        starts=starts,
+        total=total,
+        nseq=taken.sum(axis=1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def materialize(planes, layout, *, out_width: int):
     """Emit the LZ4 byte stream described by ``layout``.
@@ -357,22 +396,37 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
             planes.reshape(n, nrows, 128), offsets=offsets, nrows=nrows,
             interpret=interpret, max_match=mm, emit_values=True)
     else:
-        from .pallas.lz4_match_dyn import detect_offsets, find_matches_dyn
+        from .pallas.lz4_match_dyn import (detect_offsets,
+                                           find_matches_dyn,
+                                           find_matches_parse_dyn)
         offs, _cnt = detect_offsets(
             planes, k=detect_k, max_off=min(0xFFFF, L - 128))
         noff = (offs > 0).sum(axis=1).astype(jnp.int32)
+        # Detector-driven parses carry 1-2 sequences per segment; wcap=8
+        # keeps the slot arrays small, with dense-sequence blocks
+        # falling back RAW.  Match scoring AND the greedy cursor walk
+        # run fused in ONE Pallas dispatch (the [N, L] match planes
+        # never round-trip HBM; the old XLA walk's per-iteration gather
+        # scanned the whole operand at ~8.6 ms/iteration, and the
+        # standalone walk kernel paid 7.3 ms of seg-major transposes).
+        if (seg % 128 == 0 and L % seg == 0 and L // seg <= 128
+                and mm <= seg and 8 <= seg // 128):
+            P, M, O, overflow = find_matches_parse_dyn(
+                planes.reshape(n, nrows, 128), noff, offs, lengths,
+                nrows=nrows, seg=seg, min_match=min_match, wcap=8,
+                max_match=mm, interpret=interpret)
+            return _layout_from_records(P, M, O, overflow, lengths)
         mlen, moff = find_matches_dyn(
             planes.reshape(n, nrows, 128), noff, offs, nrows=nrows,
             max_match=mm, interpret=interpret)
-    # Detector-driven parses carry 1-2 sequences per segment (one per
-    # detected period); wcap=8 keeps the slot arrays (and the emission
-    # wire scatters, the measured cost driver) 10x smaller, with dense-
-    # sequence blocks falling back RAW.  The legacy static-offset path
-    # keeps the worst-case budget (its tests exercise dense parses).
+        return parse_and_size(
+            mlen.reshape(n, L), moff.reshape(n, L), lengths,
+            seg=seg, min_match=min_match, length=L, wcap=8)
+    # The legacy static-offset path keeps the worst-case budget (its
+    # tests exercise dense parses).
     return parse_and_size(
         mlen.reshape(n, L), moff.reshape(n, L), lengths,
-        seg=seg, min_match=min_match, length=L,
-        wcap=8 if offsets is None else None)
+        seg=seg, min_match=min_match, length=L, wcap=None)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -76,12 +76,12 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
         raise ValueError("detector stride must be a multiple of 64")
     n, L = planes.shape
     s = L // stride
-    b = planes.astype(jnp.uint32)
-    # 4-byte little-endian value at each sampled position.
-    v = (b[:, 0:][:, ::stride][:, :s]
-         | (b[:, 1:][:, ::stride][:, :s] << 8)
-         | (b[:, 2:][:, ::stride][:, :s] << 16)
-         | (b[:, 3:][:, ::stride][:, :s] << 24))
+    # 4-byte little-endian value at each sampled position.  Slice FIRST,
+    # cast after: a whole-plane uint32 cast materializes 4x the corpus
+    # (measured ~8 ms per 256 x 128 KiB — most of the detector).
+    def samp(o):
+        return planes[:, o:][:, ::stride][:, :s].astype(jnp.uint32)
+    v = samp(0) | (samp(1) << 8) | (samp(2) << 16) | (samp(3) << 24)
     idx = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), v.shape)
     sv, sp = lax.sort((v, idx), dimension=1, num_keys=2)
     same = jnp.concatenate(
@@ -117,23 +117,34 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
     # (the matcher verifies equality), so the risk is ratio-only.
     s2 = 16
     halvings = 8
-    v32 = (b[:, 0:L - 3]
-           | (b[:, 1:L - 2] << 8)
-           | (b[:, 2:L - 1] << 16)
-           | (b[:, 3:L] << 24))
-    step2 = max(1, (L - 8) // (2 * s2))
-    p_i = (L - 8 - jnp.arange(s2, dtype=jnp.int32) * step2)        # [S2]
+    # Validation reads stay in a TAIL WINDOW of the block: a whole-plane
+    # uint32 view + gather measured ~6 ms per 256 x 128 KiB (TPU gather
+    # cost is proportional to OPERAND size); the window is a static
+    # slice, so w32 is [N, win] and the halving gather's operand is 64x
+    # smaller.  Candidates beyond the window keep their unrefined delta
+    # — still a byte-true multiple of the period (the match kernel
+    # verifies equality), just with a longer literal head.
+    win = min(L, 8192)
+    wbase = L - win
+    wb = planes[:, wbase:].astype(jnp.uint32)
+    w32 = (wb[:, 0:win - 3]
+           | (wb[:, 1:win - 2] << 8)
+           | (wb[:, 2:win - 1] << 16)
+           | (wb[:, 3:win] << 24))
+    step2 = max(1, (win - 8) // (2 * s2))
+    p_i = (win - 8 - jnp.arange(s2, dtype=jnp.int32) * step2)      # [S2]
     cand = jnp.maximum(
         offs[:, :, None] >> jnp.arange(halvings, dtype=jnp.int32)[None, None, :],
         1)                                                         # [N,K,H]
     src = p_i[None, None, None, :] - cand[:, :, :, None]           # [N,K,H,S2]
     ok_src = src >= 0
     gat = jnp.take_along_axis(
-        v32, jnp.clip(src, 0, L - 4).reshape(n, -1), axis=1
+        w32, jnp.clip(src, 0, win - 4).reshape(n, -1), axis=1
     ).reshape(n, k, halvings, s2)
-    base = jnp.take_along_axis(
-        v32, jnp.broadcast_to(p_i[None], (n, s2)), axis=1)         # [N,S2]
+    base = w32[:, p_i]                                             # [N,S2]
     valid = ((gat == base[:, None, None, :]) & ok_src).all(axis=3)  # [N,K,H]
+    # A halving only refines when its sources fit the window (ok_src
+    # everywhere) — checked above — and the candidate is live.
     valid = valid & (cand >= 1) & (offs[:, :, None] > 0)
     best = jnp.where(valid, cand, jnp.int32(1 << 30)).min(axis=2)
     offs = jnp.where(offs > 0, jnp.minimum(best, offs), 0)
@@ -209,6 +220,276 @@ def _dyn_match_kernel(noff_ref, offs_ref, comp_ref, len_ref, off_ref,
             return 0
 
         lax.fori_loop(0, noff_ref[b], body, 0)
+
+
+def _match_walk_kernel(noff_ref, offs_ref, lens_ref, comp_ref, rec_ref, *,
+                       seg, nseg, max_match, min_match, wcap):
+    """Fused match scoring + greedy segment parse in ONE grid step,
+    SEGMENT-MAJOR layout: rows = byte-in-segment, lanes = segment.
+
+    The caller pre-transposes the uint8 plane once (~0.9 ms per 256 x
+    128 KiB — int32 match planes never round-trip HBM at all); in this
+    layout every per-segment walk quantity is a native [1, nseg] lane
+    vector, so each of the ``wcap`` steps is a row-reduce + a masked
+    sum (the natural-layout variant needed log2(srows) masked sublane
+    rolls per reduce and measured 6x slower; the XLA walk it replaces
+    paid an operand-proportional take_along_axis per iteration).
+
+    Match scoring mirrors ``_dyn_match_kernel`` with the roll roles
+    swapped: a shift by d decomposes into d % seg dynamic ROW rolls
+    (binary decomposition) and d // seg static LANE shifts with a
+    row-wrap borrow.
+
+    rec_ref (1, 3*wcap + 1, nseg) int32: rows [0,W) = global match
+    positions P (-1 empty), [W,2W) = truncated lengths, [2W,3W) =
+    offsets, row 3W = per-segment overflow flag.
+    """
+    b = pl.program_id(0)
+    plane = comp_ref[0].astype(jnp.int32)          # [seg, nseg]
+    G = nseg
+    brow = lax.broadcasted_iota(jnp.int32, (seg, G), 0)
+    glane = lax.broadcasted_iota(jnp.int32, (seg, G), 1)
+    gpos = glane * seg + brow
+    max_rbit = max(1, (seg - 1).bit_length())
+
+    def roll_rows_dyn(p, r):
+        """row b <- row (b - r) mod seg, traced r (binary decomposition)."""
+        v = p
+        for bit in range(max_rbit):
+            amt = 1 << bit
+            rolled = pltpu.roll(v, amt, axis=0)
+            on = lax.bitwise_and(r, amt) != 0
+            v = jnp.where(on, rolled, v)
+        return v
+
+    def shift_fwd(p, s: int):
+        """p[pos + s] for static 1 <= s < seg (run doubling)."""
+        a = pltpu.roll(p, seg - s, axis=0)         # row b <- b + s (wrap)
+        bb = pltpu.roll(a, G - 1, axis=1)          # lane g <- g + 1
+        return jnp.where(brow < seg - s, a, bb)
+
+    def score(ki, carry):
+        run_best, off_best = carry
+        d = offs_ref[b, ki]
+        q = d // seg
+        r = lax.rem(d, seg)
+        x1 = roll_rows_dyn(plane, r)               # row part of p - d
+        ql_a = (glane - q) & (G - 1)
+        ql_b = (glane - q - 1) & (G - 1)
+        va = jnp.take_along_axis(x1, ql_a, axis=1)
+        vb = jnp.take_along_axis(x1, ql_b, axis=1)
+        shifted = jnp.where(brow >= r, va, vb)     # row-wrap borrows a lane
+        eq = jnp.logical_and(plane == shifted, gpos >= d)
+        run = eq.astype(jnp.int32)
+        step = 1
+        while step < max_match:
+            run = jnp.where(run == step, run + shift_fwd(run, step), run)
+            step *= 2
+        run = jnp.minimum(run, max_match)
+        better = run > run_best
+        return (jnp.where(better, run, run_best),
+                jnp.where(better, d, off_best))
+
+    zeros = jnp.zeros((seg, G), jnp.int32)
+    run, off = lax.fori_loop(0, noff_ref[b], score, (zeros, zeros))
+
+    # ---- greedy per-segment walk (lane-parallel) ----
+    blen = lens_ref[b]
+    INF = jnp.int32(seg + seg)
+    lim = jnp.minimum(jnp.int32(seg), blen - 5 - glane * seg)
+    m_t = jnp.minimum(run, lim - brow)
+    valid = (m_t >= min_match) & (gpos < blen - 12) & (off >= 1)
+    cand_base = jnp.where(valid, brow, INF)
+    lane0 = lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+    def step(t, pos):
+        cand = jnp.where(brow >= pos, cand_base, INF)
+        nxt = jnp.min(cand, axis=0, keepdims=True)          # [1, G]
+        took = nxt < seg
+        oh = (brow == nxt).astype(jnp.int32)                # one writer/col
+        m_at = jnp.sum(oh * m_t, axis=0, keepdims=True)
+        o_at = jnp.sum(oh * off, axis=0, keepdims=True)
+        rec_ref[0, pl.ds(t, 1), :] = jnp.where(
+            took, nxt + lane0 * seg, -1)
+        rec_ref[0, pl.ds(wcap + t, 1), :] = jnp.where(took, m_at, 0)
+        rec_ref[0, pl.ds(2 * wcap + t, 1), :] = jnp.where(took, o_at, 0)
+        return jnp.where(took, nxt + m_at, jnp.int32(seg))
+
+    pos = lax.fori_loop(0, wcap, step, jnp.zeros((1, G), jnp.int32))
+    cand = jnp.where(brow >= pos, cand_base, INF)
+    rec_ref[0, 3 * wcap:3 * wcap + 1, :] = (
+        jnp.min(cand, axis=0, keepdims=True) < seg).astype(jnp.int32)
+
+
+def find_matches_parse_dyn(comp, noff, offs, lengths, *, nrows: int,
+                           seg: int, min_match: int, wcap: int = 8,
+                           max_match: int = 1024,
+                           interpret: bool = False):
+    """Fused dynamic-offset match + greedy parse (one Pallas dispatch).
+
+    Args: comp [N, nrows, 128] uint8 raw planes, noff/offs as
+    :func:`find_matches_dyn`, lengths [N] int32 block lengths.
+    Returns (P, M, O, overflow) exactly like :func:`parse_walk_dyn` —
+    but the [N, L] match planes never leave VMEM.
+    Requires seg % 128 == 0, nseg <= 128, max_match <= seg.
+    """
+    n = comp.shape[0]
+    L = nrows * LANES
+    if seg % LANES or L % seg:
+        raise ValueError("seg must be lane-aligned and divide the plane")
+    nseg = L // seg
+    if nseg > 128:
+        raise ValueError("find_matches_parse_dyn: nseg must fit one lane tile")
+    if max_match > seg:
+        raise ValueError("max_match must be <= seg (segment truncation)")
+    # Segment-major relayout of the RAW plane (uint8: ~4x cheaper than
+    # transposing the int32 match planes the standalone walk needed).
+    comp_sg = comp.reshape(n, nseg, seg).transpose(0, 2, 1)
+    kernel = functools.partial(
+        _match_walk_kernel, seg=seg, nseg=nseg, max_match=max_match,
+        min_match=min_match, wcap=wcap)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, seg, nseg), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3 * wcap + 1, nseg),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    rec = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3 * wcap + 1, nseg), jnp.int32),
+        interpret=interpret,
+        **kwargs,
+    )(noff, offs, jnp.asarray(lengths, jnp.int32), comp_sg)
+    P = jnp.moveaxis(rec[:, :wcap, :], 1, 2).reshape(n, nseg * wcap)
+    M = jnp.moveaxis(rec[:, wcap:2 * wcap, :], 1, 2).reshape(n, nseg * wcap)
+    O = jnp.moveaxis(rec[:, 2 * wcap:3 * wcap, :], 1, 2).reshape(
+        n, nseg * wcap)
+    overflow = (rec[:, 3 * wcap, :] != 0).any(axis=1)
+    return P, M, O, overflow
+
+
+def _walk_kernel(len_ref, mlen_ref, moff_ref, rec_ref, *, seg, nseg,
+                 min_match, wcap):
+    """Greedy segment parse, lane-parallel: one grid step walks ONE
+    block's ``nseg`` segments simultaneously (segments on LANES, bytes
+    down ROWS — the caller pre-transposes to segment-major).
+
+    mlen_ref/moff_ref: (1, seg, nseg) VMEM int32 — match length/offset
+    per byte in segment-major layout (``x[b, g]`` = byte ``g*seg + b``).
+    len_ref: (N,) SMEM int32 block lengths.
+    rec_ref: (1, 3*wcap + 1, nseg) int32 — rows [0,W) = global match
+    positions P (-1 = empty slot), [W,2W) = truncated match lengths M,
+    [2W,3W) = offsets O, row 3W = overflow flag per segment.
+
+    Replaces the XLA cursor walk whose per-iteration ``take_along_axis``
+    scans the whole [N, L] operand (measured ~8.6 ms per iteration at
+    256 x 128 KiB — cost is proportional to OPERAND size on TPU): here
+    each step is a masked row-reduce + one-hot row gather inside VMEM,
+    ~1 us per block-step.
+    """
+    b = pl.program_id(0)
+    blen = len_ref[b]
+    L = seg * nseg
+    INF = jnp.int32(L + seg)
+
+    brow = lax.broadcasted_iota(jnp.int32, (seg, nseg), 0)   # byte-in-seg
+    glane = lax.broadcasted_iota(jnp.int32, (seg, nseg), 1)  # segment id
+    gpos = glane * seg + brow                                # global byte
+
+    # Per-byte spec + segment truncation (same rules as parse_and_size):
+    # a match may not cross its segment end, must leave >= 5 trailing
+    # literals, and may not start in the last 12 bytes of the block.
+    lim = jnp.minimum(jnp.int32(seg), blen - 5 - glane * seg)
+    m_t = jnp.minimum(mlen_ref[0], lim - brow)
+    valid = (m_t >= min_match) & (gpos < blen - 12) & (moff_ref[0] >= 1)
+    cand_base = jnp.where(valid, brow, INF)
+
+    state0 = (jnp.zeros((1, nseg), jnp.int32),)              # cursor (seg-local)
+
+    def step(t, state):
+        (pos,) = state
+        cand = jnp.where(brow >= pos, cand_base, INF)
+        nxt = jnp.min(cand, axis=0, keepdims=True)           # [1, nseg]
+        took = nxt < seg
+        oh = (brow == nxt).astype(jnp.int32)                 # one writer/col
+        mlen_at = jnp.sum(oh * m_t, axis=0, keepdims=True)
+        moff_at = jnp.sum(oh * moff_ref[0], axis=0, keepdims=True)
+        rec_ref[0, pl.ds(t, 1), :] = jnp.where(
+            took, nxt + lax.broadcasted_iota(jnp.int32, (1, nseg), 1) * seg,
+            -1)
+        rec_ref[0, pl.ds(wcap + t, 1), :] = jnp.where(took, mlen_at, 0)
+        rec_ref[0, pl.ds(2 * wcap + t, 1), :] = jnp.where(took, moff_at, 0)
+        return (jnp.where(took, nxt + mlen_at, jnp.int32(seg)),)
+
+    state = lax.fori_loop(0, wcap, step, state0)
+    (pos,) = state
+    # Overflow: a segment with remaining matches would DROP sequences.
+    cand = jnp.where(brow >= pos, cand_base, INF)
+    rec_ref[0, 3 * wcap:3 * wcap + 1, :] = (
+        jnp.min(cand, axis=0, keepdims=True) < seg).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "min_match", "wcap",
+                                             "interpret"))
+def parse_walk_dyn(mlen, moff, lengths, *, seg: int, min_match: int,
+                   wcap: int, interpret: bool = False):
+    """Lane-parallel greedy parse of match hints (Pallas).
+
+    Args: mlen/moff [N, L] int32 per-byte match hints, lengths [N].
+    Returns (P, M, O, overflow): P/M/O [N, nseg*wcap] int32 in
+    (segment-major, step) position order (P = -1 for empty slots, M
+    TRUNCATED lengths, O offsets), overflow [N] bool.
+    """
+    n, L = mlen.shape
+    if L % seg:
+        raise ValueError("seg must divide L")
+    nseg = L // seg
+    if nseg > 128:
+        raise ValueError("parse_walk_dyn: nseg must fit one lane tile")
+    # Segment-major relayout: [n, L] -> [n, seg, nseg].
+    mlen_sg = mlen.reshape(n, nseg, seg).transpose(0, 2, 1)
+    moff_sg = moff.reshape(n, nseg, seg).transpose(0, 2, 1)
+    kernel = functools.partial(
+        _walk_kernel, seg=seg, nseg=nseg, min_match=min_match, wcap=wcap)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, seg, nseg), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg, nseg), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3 * wcap + 1, nseg),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    rec = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3 * wcap + 1, nseg), jnp.int32),
+        interpret=interpret,
+        **kwargs,
+    )(lengths.astype(jnp.int32), mlen_sg, moff_sg)
+    # [n, W, G] -> [n, G*W]: (segment, step) IS position order.
+    P = jnp.moveaxis(rec[:, :wcap, :], 1, 2).reshape(n, nseg * wcap)
+    M = jnp.moveaxis(rec[:, wcap:2 * wcap, :], 1, 2).reshape(n, nseg * wcap)
+    O = jnp.moveaxis(rec[:, 2 * wcap:3 * wcap, :], 1, 2).reshape(
+        n, nseg * wcap)
+    overflow = rec[:, 3 * wcap, :].any(axis=1)
+    return P, M, O, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("nrows", "max_match",
