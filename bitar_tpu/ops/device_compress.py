@@ -439,8 +439,21 @@ def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
                           offsets=offsets)
-    out = materialize(planes, layout, out_width=out_width)
+    out = _emit(planes, layout, out_width=out_width, interpret=interpret)
     return out, layout["total"]
+
+
+def _emit(planes, layout, *, out_width: int, interpret: bool):
+    """Emission dispatch: the Pallas kernel when the wire ranges fit
+    (ll/off 16-bit, ls 17-bit, slot intervals in [0, ow]); the XLA
+    materialize otherwise (wide emission planes)."""
+    L = planes.shape[1]
+    if out_width <= 8192 and L <= (1 << 17) and L % 128 == 0 \
+            and out_width % 8 == 0:
+        from .pallas.lz4_emit import materialize_pallas
+        return materialize_pallas(planes, layout, out_width=out_width,
+                                  interpret=interpret)
+    return materialize(planes, layout, out_width=out_width)
 
 
 def _validate_args(L, seg, mm, offsets):
@@ -543,5 +556,5 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
         wmax = max(wmax, 8193)   # compact wire can't carry this mv
     width = 128 << max(0, (-(-wmax // 128) - 1).bit_length())
     width = min(width, -(-lz4_bound(L) // 128) * 128)
-    out = materialize(planes, layout, out_width=width)
+    out = _emit(planes, layout, out_width=width, interpret=interpret)
     return out, layout["total"]

@@ -82,10 +82,19 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
     def samp(o):
         return planes[:, o:][:, ::stride][:, :s].astype(jnp.uint32)
     v = samp(0) | (samp(1) << 8) | (samp(2) << 16) | (samp(3) << 24)
-    idx = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), v.shape)
-    sv, sp = lax.sort((v, idx), dimension=1, num_keys=2)
+    # ONE single-key sort of hash(21b) | index(11b): XLA's variadic
+    # 2-key sort measured ~2x a single-key sort.  A hash collision
+    # (2^-21 per pair) can surface a junk delta; the match kernel
+    # verifies byte equality, so the cost is a wasted candidate slot,
+    # never a wrong byte.
+    assert s <= 2048, "sample index must fit 11 bits"
+    h = (v * jnp.uint32(2654435761)) & jnp.uint32(0xFFFFF800)
+    key = (h | jnp.arange(s, dtype=jnp.uint32)).astype(jnp.uint32)
+    sk = jnp.sort(key, axis=1)
+    sp = (sk & 0x7FF).astype(jnp.int32)
+    hv = sk >> 11
     same = jnp.concatenate(
-        [jnp.zeros((n, 1), bool), sv[:, 1:] == sv[:, :-1]], axis=1)
+        [jnp.zeros((n, 1), bool), hv[:, 1:] == hv[:, :-1]], axis=1)
     prev = jnp.concatenate([jnp.zeros((n, 1), jnp.int32), sp[:, :-1]], axis=1)
     delta = (sp - prev) * stride
     ok = same & (delta > 0) & (delta <= max_off)
