@@ -40,32 +40,26 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _emit_kernel(total_ref, plane_ref, fb_ref, out_ref, *, ow, s_pad,
-                 nrows, blk):
+def _emit_kernel(total_ref, plane_ref, fb_ref, iv_ref, out_ref, *, ow,
+                 s_pad, nrows, blk):
     """One grid step emits one block's LZ4 bytes.
 
     total_ref (N,) SMEM     exact compressed size per block
     plane_ref (1, nrows, 128) VMEM uint8 raw plane (natural layout)
-    fb_ref   (1, s_pad, 128) VMEM int8: byte-decomposed slot fields
-             (cols 0-1 starts, 2-3 ll, 4-6 ls, 7-8 mv1, 9-10 off,
-              11-12 ends; rest zero)
+    fb_ref   (1, s_pad, 128) VMEM int8: byte-decomposed slot fields,
+             slot-major rows (cols 0-1 starts, 2-3 ll, 4-5 ls>>7,
+             6 ls&127, 7-8 mv1, 9-10 off; rest zero) — the MXU gather
+             operand
+    iv_ref   (1, 8, s_pad) VMEM int32: interval bounds with slots on
+             LANES (row 0 starts, row 1 ends) — extracting a lane
+             vector from fb's slot-major rows would be a transpose
     out_ref  (1, ow, 128) VMEM uint8: byte value broadcast across lanes
     """
     b = pl.program_id(0)
     t_col = lax.broadcasted_iota(jnp.int32, (ow, 1), 0)
 
-    # int8 lanes carry raw bytes (0..255 wrapped negative); mask each
-    # byte back to unsigned before recombining.
-    fb = fb_ref[0].astype(jnp.int32) & 0xFF       # [s_pad, 128]
-
-    def field(c0, nbytes):
-        v = fb[:, c0]
-        for j in range(1, nbytes):
-            v = v + (fb[:, c0 + j] << (8 * j))
-        return v.reshape(1, s_pad)                # slot fields on lanes
-
-    starts = field(0, 2)
-    ends = field(11, 2)
+    starts = iv_ref[0, 0:1, :]                    # [1, s_pad]
+    ends = iv_ref[0, 1:2, :]
     # One-hot by interval test: empty slots have ends == starts.
     oh = jnp.logical_and(starts <= t_col, t_col < ends).astype(jnp.int8)
     # Field gather: one int8 matmul against the byte-decomposed fields.
@@ -76,6 +70,13 @@ def _emit_kernel(total_ref, plane_ref, fb_ref, out_ref, *, ow, s_pad,
 
     def gcol(c0, nbytes):
         # One-hot rows gather a single signed byte; mask to unsigned.
+        # HW CONSTRAINT: every recombined field must stay < 2^16.
+        # Mosaic narrows single-lane i32 slice chains to 16 bits on
+        # v5e (observed: ``gf[:, 6:7] << 16`` evaluates to 0 while the
+        # full-width shift is exact; interpret mode exact), so no
+        # field may use a third byte — which is why lit_start is
+        # carried as a (row, lane) pair below, never as a 17-bit
+        # value.
         v = gf[:, c0:c0 + 1] & 0xFF
         for j in range(1, nbytes):
             v = v + ((gf[:, c0 + j:c0 + j + 1] & 0xFF) << (8 * j))
@@ -83,7 +84,8 @@ def _emit_kernel(total_ref, plane_ref, fb_ref, out_ref, *, ow, s_pad,
 
     w_start = gcol(0, 2)
     ll = gcol(2, 2)
-    w_ls = gcol(4, 3)
+    ls_row = gcol(4, 2)                            # lit_start >> 7
+    ls_lane = gcol(6, 1)                           # lit_start & 127
     mv = gcol(7, 2) - 1
     off = gcol(9, 2)
 
@@ -99,16 +101,19 @@ def _emit_kernel(total_ref, plane_ref, fb_ref, out_ref, *, ow, s_pad,
     off_byte = jnp.where(d == lit_end, off & 0xFF, (off >> 8) & 0xFF)
 
     # Literal byte: row one-hot matmul over the raw plane, then an
-    # in-tile dynamic-lane pick of the byte within the row.
-    lit_idx = jnp.clip(w_ls + (d - hdr), 0, blk - 1)
+    # in-tile dynamic-lane pick of the byte within the row.  The
+    # literal index is carried as (row, lane) with an explicit lane
+    # carry so every intermediate stays < 2^16 (see gcol note).
+    lane_sum = ls_lane + (d - hdr)                 # [-ow, 127 + ow]
+    lit_row = jnp.clip(ls_row + (lane_sum >> 7), 0, nrows - 1)
     r_lane = lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
-    oh2 = (r_lane == (lit_idx >> 7)).astype(jnp.int8)     # [ow, nrows]
+    oh2 = (r_lane == lit_row).astype(jnp.int8)            # [ow, nrows]
     plane_b = (plane_ref[0].astype(jnp.int32) - 128).astype(jnp.int8)
     rowsel = jax.lax.dot_general(
         oh2, plane_b,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                 # [ow, 128]
-    lane_idx = jnp.broadcast_to(lit_idx & 127, (ow, LANES))
+    lane_idx = jnp.broadcast_to(lane_sum & 127, (ow, LANES))
     lit_byte = jnp.take_along_axis(rowsel, lane_idx, axis=1)[:, :1] + 128
 
     val = jnp.where(
@@ -148,6 +153,9 @@ def materialize_pallas(planes, layout, *, out_width: int,
     ends_c = jnp.clip(starts + sizes, 0, ow)
     ll_c = jnp.minimum(layout["lit_len"], 0xFFFF)
     ls_c = jnp.clip(layout["lit_start"], 0, (1 << 17) - 1)
+    # lit_start ships as (row, lane) = (ls >> 7, ls & 127) so the
+    # kernel never recombines a >= 2^16 value from gathered bytes (the
+    # Mosaic 16-bit narrowing noted in _emit_kernel.gcol).
     mv1 = jnp.clip(jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0),
                    0, 0x7FFF)
     off_c = jnp.clip(layout["off"], 0, 0xFFFF)
@@ -155,10 +163,13 @@ def materialize_pallas(planes, layout, *, out_width: int,
     def bts(v, c):
         return [((v >> (8 * j)) & 0xFF).astype(jnp.int8) for j in range(c)]
 
-    cols = (bts(st_c, 2) + bts(ll_c, 2) + bts(ls_c, 3) + bts(mv1, 2)
-            + bts(off_c, 2) + bts(ends_c, 2))
-    fb = jnp.stack(cols, axis=2)                    # [N, S, 13]
-    fb = jnp.pad(fb, ((0, 0), (0, s_pad - nslots), (0, 115)))
+    cols = (bts(st_c, 2) + bts(ll_c, 2) + bts(ls_c >> 7, 2)
+            + bts(ls_c & 127, 1) + bts(mv1, 2) + bts(off_c, 2))
+    fb = jnp.stack(cols, axis=2)                    # [N, S, 11]
+    fb = jnp.pad(fb, ((0, 0), (0, s_pad - nslots), (0, 117)))
+    iv = jnp.stack([st_c, ends_c], axis=1)          # [N, 2, S]
+    iv = jnp.pad(iv, ((0, 0), (0, 6), (0, s_pad - nslots)),
+                 constant_values=ow)                # pad slots: empty
 
     kernel = functools.partial(_emit_kernel, ow=ow, s_pad=s_pad,
                                nrows=nrows, blk=L)
@@ -174,6 +185,8 @@ def materialize_pallas(planes, layout, *, out_width: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ow, LANES), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -185,5 +198,5 @@ def materialize_pallas(planes, layout, *, out_width: int,
         interpret=interpret,
         **kwargs,
     )(layout["total"].astype(jnp.int32),
-      planes.reshape(n, nrows, LANES), fb)
+      planes.reshape(n, nrows, LANES), fb, iv)
     return out[:, :, 0]
