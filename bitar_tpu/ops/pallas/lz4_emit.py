@@ -1,27 +1,47 @@
-"""Pallas LZ4 byte-emission kernel (the materialize stage on-chip).
+"""Pallas LZ4 byte-emission kernels (the materialize stage on-chip).
 
 Emits the standard LZ4 byte stream for a batch of blocks from the
 sequence layout (``device_compress.parse_and_size`` /
 ``_layout_from_records``).  The XLA materialize pays operand-
 proportional costs for its three wire scatters, cummax propagation and
 the literal gather (measured ~12 ms per 256 x 128 KiB at OW=2048);
-this kernel rebuilds the same bytes with:
+this pair of kernels rebuilds the same bytes with:
 
-1. **Slot one-hot by interval test** — no rank scan: output byte t
-   belongs to slot k iff ``starts[k] <= t < starts[k] + sizes[k]``
-   (empty slots have size 0), so the [OW, S] one-hot is two broadcast
-   compares.  Slots live on LANES (S padded to 128 multiples), output
-   bytes on ROWS.
-2. **MXU field gather** — per-byte slot fields come from ONE int8
-   matmul: ``onehot [OW, S] @ field_bytes [S, 16]`` with the five slot
-   fields byte-decomposed host-side (values < 2^18: 13 int8 columns).
-3. **MXU literal gather** — the literal byte's plane row is selected
-   with a second one-hot matmul over the raw plane's 1024 rows; the
-   lane lands with one in-tile dynamic-lane gather.
+1. **MXU slot compaction** (``_compact_kernel``): the layout's slot
+   array is (segment, step)-shaped and ~7/8 empty (unused walk steps).
+   Ranks come from an XLA cumsum; the kernel builds the permutation
+   one-hot ``QT[new, old] = (new == rank[old])`` with one iota/lane
+   compare and compacts every per-slot byte row with ONE int8 matmul.
+   An XLA take_along_axis compaction measured ~2.2 ms per gathered
+   row (cross-lane gathers are operand-proportional); this is one
+   21-MMAC matmul per block.
+2. **Slot one-hot by interval test** — no rank scan: output byte t
+   belongs to slot k iff ``starts[k] <= t < starts[k] + sizes[k]``,
+   two broadcast compares.  Slots on LANES, output bytes on ROWS.
+3. **Per-tile slot windows**: compacted real slots own >= 3 output
+   bytes each (token + 2-byte offset minimum; tail >= 1), so a
+   512-byte output tile intersects < 174 slots.  The emission grid is
+   (block, tile) and a scalar-prefetch index map hands each step a
+   3 x 128-slot window — the one-hot shrinks from [OW, s_pad] to
+   [512, 384] (the full-width one-hot build dominated the kernel).
+4. **MXU field gather** — per-byte slot fields come from ONE int8
+   matmul of the one-hot against the byte-decomposed fields; all
+   field operands stay LANE-major end-to-end (the natural layout of
+   the layout arrays — contracting lanes-with-lanes on the MXU avoids
+   every host/XLA transpose).
+5. **MXU literal gather** — the literal byte's plane row is selected
+   with a second one-hot matmul over the raw plane's rows; the lane
+   lands with one in-tile dynamic-lane gather.
 
-Everything keeps output bytes on SUBLANES ([OW, ...] planes, value
+Everything keeps output bytes on SUBLANES ([TW, ...] planes, value
 broadcast across lanes; the caller slices lane 0), so no transposes or
 cross-tile reshapes appear anywhere.
+
+Hardware note: single-lane int32 slice chains narrow to 16 bits on
+v5e Mosaic (observed: ``gf[:, 6:7] << 16`` evaluates to 0 on silicon
+while interpret mode and full-width shifts are exact), so no gathered
+field may recombine to >= 2^16 — lit_start ships as a (row, lane)
+pair and the literal index carry runs in row/lane space.
 
 Reference contrast: this is the byte-assembly half of what bitar's DPU
 does in hardware after its match search (``src/device.cc:157-238``).
@@ -39,53 +59,77 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+#: slot-window width in 128-slot tiles: 127 (alignment slack) + 512/3
+#: + boundary slots < 384, so a 3-tile window always covers every slot
+#: a 512-byte output tile can intersect (compacted slots are >= 3
+#: bytes each; the tail >= 1).
+WIN_TILES = 3
 
-def _emit_kernel(total_ref, plane_ref, fb_ref, iv_ref, out_ref, *, ow,
-                 s_pad, nrows, blk):
-    """One grid step emits one block's LZ4 bytes.
+#: bundle rows: 0-1 start bytes, 2-3 lit_len, 4-5 lit_start>>7,
+#: 6 lit_start&127, 7-8 mv+1, 9-10 offset, 11-12 end bytes.
+_BUNDLE_ROWS = 13
 
-    total_ref (N,) SMEM     exact compressed size per block
-    plane_ref (1, nrows, 128) VMEM uint8 raw plane (natural layout)
-    fb_ref   (1, s_pad, 128) VMEM int8: byte-decomposed slot fields,
-             slot-major rows (cols 0-1 starts, 2-3 ll, 4-5 ls>>7,
-             6 ls&127, 7-8 mv1, 9-10 off; rest zero) — the MXU gather
-             operand
-    iv_ref   (1, 8, s_pad) VMEM int32: interval bounds with slots on
-             LANES (row 0 starts, row 1 ends) — extracting a lane
-             vector from fb's slot-major rows would be a transpose
-    out_ref  (1, ow, 128) VMEM uint8: byte value broadcast across lanes
+
+def _compact_kernel(bundle_ref, rank_ref, out_ref, *, s_pad):
+    """Permute slot byte-columns so real slots pack to the front.
+
+    bundle_ref (1, 32, s_pad) int8: per-slot field bytes, lane-major.
+    rank_ref (1, 8, s_pad) int32: row 0 = target index per slot (-1
+    for empty slots — matches no target, so empty targets stay zero:
+    start == end == 0, an empty interval).
     """
-    b = pl.program_id(0)
-    t_col = lax.broadcasted_iota(jnp.int32, (ow, 1), 0)
+    rank = rank_ref[0, 0:1, :]                       # [1, s_pad]
+    new_i = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+    qt = (new_i == rank).astype(jnp.int8)            # [new, old]
+    out_ref[0] = jax.lax.dot_general(
+        bundle_ref[0], qt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.int8)
 
-    starts = iv_ref[0, 0:1, :]                    # [1, s_pad]
-    ends = iv_ref[0, 1:2, :]
+
+def _emit_kernel(total_ref, win_ref, plane_ref, rest, *, tw, nrows, win):
+    """One grid step emits one tw-byte output tile of one block.
+
+    total_ref (N,) SMEM      exact compressed size per block
+    win_ref  (N, ntiles) SMEM  slot-window base (in 128-slot tiles)
+    plane_ref (1, nrows, 128) VMEM uint8 raw plane (natural layout)
+    rest: ``win`` bundle windows (1, 32, 128) int8 (see _BUNDLE_ROWS)
+          then the output ref (1, tw, 128) uint8 (byte value broadcast
+          across lanes; the caller slices lane 0).
+    """
+    bw_refs = rest[:win]
+    out_ref = rest[win]
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    t_col = j * tw + lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+
+    bw = jnp.concatenate([r[0] for r in bw_refs], axis=1)  # [32, 128*win]
+    bw32 = bw.astype(jnp.int32) & 0xFF
+    starts = bw32[0:1, :] + (bw32[1:2, :] << 8)      # [1, 128*win]
+    ends = bw32[11:12, :] + (bw32[12:13, :] << 8)
     # One-hot by interval test: empty slots have ends == starts.
     oh = jnp.logical_and(starts <= t_col, t_col < ends).astype(jnp.int8)
-    # Field gather: one int8 matmul against the byte-decomposed fields.
+    # Field gather: one int8 matmul, contracting lanes with lanes (the
+    # field operand is lane-major; the MXU takes the transposed RHS).
     gf = jax.lax.dot_general(
-        oh, fb_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)          # [ow, 128]
+        oh, bw[:16],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)            # [tw, 16]
 
     def gcol(c0, nbytes):
         # One-hot rows gather a single signed byte; mask to unsigned.
-        # HW CONSTRAINT: every recombined field must stay < 2^16.
-        # Mosaic narrows single-lane i32 slice chains to 16 bits on
-        # v5e (observed: ``gf[:, 6:7] << 16`` evaluates to 0 while the
-        # full-width shift is exact; interpret mode exact), so no
-        # field may use a third byte — which is why lit_start is
-        # carried as a (row, lane) pair below, never as a 17-bit
-        # value.
+        # HW CONSTRAINT: every recombined field must stay < 2^16 (the
+        # module-docstring Mosaic narrowing) — no field has a third
+        # byte; lit_start is carried as (row, lane) below.
         v = gf[:, c0:c0 + 1] & 0xFF
-        for j in range(1, nbytes):
-            v = v + ((gf[:, c0 + j:c0 + j + 1] & 0xFF) << (8 * j))
-        return v                                   # [ow, 1]
+        for j2 in range(1, nbytes):
+            v = v + ((gf[:, c0 + j2:c0 + j2 + 1] & 0xFF) << (8 * j2))
+        return v                                     # [tw, 1]
 
     w_start = gcol(0, 2)
     ll = gcol(2, 2)
-    ls_row = gcol(4, 2)                            # lit_start >> 7
-    ls_lane = gcol(6, 1)                           # lit_start & 127
+    ls_row = gcol(4, 2)                              # lit_start >> 7
+    ls_lane = gcol(6, 1)                             # lit_start & 127
     mv = gcol(7, 2) - 1
     off = gcol(9, 2)
 
@@ -104,16 +148,16 @@ def _emit_kernel(total_ref, plane_ref, fb_ref, iv_ref, out_ref, *, ow,
     # in-tile dynamic-lane pick of the byte within the row.  The
     # literal index is carried as (row, lane) with an explicit lane
     # carry so every intermediate stays < 2^16 (see gcol note).
-    lane_sum = ls_lane + (d - hdr)                 # [-ow, 127 + ow]
+    lane_sum = ls_lane + (d - hdr)                   # [-tw, 127 + tw]
     lit_row = jnp.clip(ls_row + (lane_sum >> 7), 0, nrows - 1)
     r_lane = lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
-    oh2 = (r_lane == lit_row).astype(jnp.int8)            # [ow, nrows]
+    oh2 = (r_lane == lit_row).astype(jnp.int8)              # [tw, nrows]
     plane_b = (plane_ref[0].astype(jnp.int32) - 128).astype(jnp.int8)
     rowsel = jax.lax.dot_general(
         oh2, plane_b,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)                 # [ow, 128]
-    lane_idx = jnp.broadcast_to(lane_sum & 127, (ow, LANES))
+        preferred_element_type=jnp.int32)                   # [tw, 128]
+    lane_idx = jnp.broadcast_to(lane_sum & 127, (tw, LANES))
     lit_byte = jnp.take_along_axis(rowsel, lane_idx, axis=1)[:, :1] + 128
 
     val = jnp.where(
@@ -122,7 +166,7 @@ def _emit_kernel(total_ref, plane_ref, fb_ref, iv_ref, out_ref, *, ow,
                   jnp.where(d < lit_end, lit_byte,
                             jnp.where(d < lit_end + 2, off_byte, m_ext))))
     val = jnp.where(t_col < total_ref[b], val, 0)
-    out_ref[0] = jnp.broadcast_to(val, (ow, LANES)).astype(jnp.uint8)
+    out_ref[0] = jnp.broadcast_to(val, (tw, LANES)).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
@@ -135,13 +179,18 @@ def materialize_pallas(planes, layout, *, out_width: int,
     whose total exceeds out_width are garbage — the caller's RAW
     fallback drops them).  Requires lit_len/lit_start/mv/off field
     ranges of a real emission (ll < 2^16, ls < 2^17 = 128 KiB blocks,
-    mv < 2^15, off < 2^16)."""
+    mv < 2^15, off < 2^16).  Emitted starts/ends must fit 16 bits, so
+    out_width <= 65535 (the engine uses <= 8192)."""
     n, L = planes.shape
     ow = out_width
     nrows = L // LANES
     starts = layout["starts"]                       # [N, S]
     nslots = starts.shape[1]
     s_pad = -(-nslots // LANES) * LANES
+    s_tiles = s_pad // LANES
+    tw = 512 if (ow % 512 == 0 and ow > 512) else ow
+    ntiles = ow // tw
+    win = min(WIN_TILES, s_tiles) if ntiles > 1 else s_tiles
 
     sizes = jnp.diff(starts, axis=1)
     sizes = jnp.concatenate(
@@ -153,50 +202,85 @@ def materialize_pallas(planes, layout, *, out_width: int,
     ends_c = jnp.clip(starts + sizes, 0, ow)
     ll_c = jnp.minimum(layout["lit_len"], 0xFFFF)
     ls_c = jnp.clip(layout["lit_start"], 0, (1 << 17) - 1)
-    # lit_start ships as (row, lane) = (ls >> 7, ls & 127) so the
-    # kernel never recombines a >= 2^16 value from gathered bytes (the
-    # Mosaic 16-bit narrowing noted in _emit_kernel.gcol).
     mv1 = jnp.clip(jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0),
                    0, 0x7FFF)
     off_c = jnp.clip(layout["off"], 0, 0xFFFF)
 
+    real = sizes > 0
+    # Compaction rank: real slots keep position order; empties map
+    # nowhere (-1) so their compacted targets stay all-zero — an
+    # empty [0, 0) interval.
+    rank = jnp.where(real, jnp.cumsum(real, axis=1).astype(jnp.int32) - 1,
+                     -1)
+    rank8 = jnp.pad(rank[:, None, :], ((0, 0), (0, 7), (0, s_pad - nslots)),
+                    constant_values=-1)
+
     def bts(v, c):
         return [((v >> (8 * j)) & 0xFF).astype(jnp.int8) for j in range(c)]
 
-    cols = (bts(st_c, 2) + bts(ll_c, 2) + bts(ls_c >> 7, 2)
-            + bts(ls_c & 127, 1) + bts(mv1, 2) + bts(off_c, 2))
-    fb = jnp.stack(cols, axis=2)                    # [N, S, 11]
-    fb = jnp.pad(fb, ((0, 0), (0, s_pad - nslots), (0, 117)))
-    iv = jnp.stack([st_c, ends_c], axis=1)          # [N, 2, S]
-    iv = jnp.pad(iv, ((0, 0), (0, 6), (0, s_pad - nslots)),
-                 constant_values=ow)                # pad slots: empty
+    rows = (bts(st_c, 2) + bts(ll_c, 2) + bts(ls_c >> 7, 2)
+            + bts(ls_c & 127, 1) + bts(mv1, 2) + bts(off_c, 2)
+            + bts(ends_c, 2))
+    bundle = jnp.stack(rows, axis=1)                # [N, 13, S] lane-major
+    bundle = jnp.pad(bundle, ((0, 0), (0, 32 - _BUNDLE_ROWS),
+                              (0, s_pad - nslots)))
 
-    kernel = functools.partial(_emit_kernel, ow=ow, s_pad=s_pad,
-                               nrows=nrows, blk=L)
+    # Per-tile slot-window base (128-slot tiles): the covering slot of
+    # byte j*tw is (#real starts <= j*tw) - 1, counted on the
+    # UNCOMPACTED array (ranks preserve order).
+    if ntiles > 1:
+        cs = jnp.where(real, st_c, ow + 1)          # [N, S]
+        tbase = (jnp.arange(ntiles, dtype=jnp.int32) * tw)[None, :, None]
+        cover = (cs[:, None, :] <= tbase).sum(axis=2).astype(jnp.int32) - 1
+        wins = jnp.clip(jnp.maximum(cover, 0) // LANES, 0, s_tiles - win)
+    else:
+        wins = jnp.zeros((n, 1), jnp.int32)
+
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+
+    bundle_c = pl.pallas_call(
+        functools.partial(_compact_kernel, s_pad=s_pad),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, nrows, LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 32, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, LANES), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, s_pad), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 8, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ow, LANES), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 32, s_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 32, s_pad), jnp.int8),
+        interpret=interpret,
+        **kwargs,
+    )(bundle, rank8)
+
+    def kern(total_ref, win_ref, plane_ref, *rest):
+        _emit_kernel(total_ref, win_ref, plane_ref, rest, tw=tw,
+                     nrows=nrows, win=win)
+
+    def win_map(k):
+        return lambda i, j, total_ref, win_ref: (i, 0, win_ref[i, j] + k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, nrows, LANES), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 32, LANES), win_map(k),
+                        memory_space=pltpu.VMEM) for k in range(win)],
+        out_specs=pl.BlockSpec((1, tw, LANES), lambda i, j, *_: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel,
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, ow, LANES), jnp.uint8),
         interpret=interpret,
         **kwargs,
-    )(layout["total"].astype(jnp.int32),
-      planes.reshape(n, nrows, LANES), fb, iv)
+    )(layout["total"].astype(jnp.int32), wins,
+      planes.reshape(n, nrows, LANES), *([bundle_c] * win))
     return out[:, :, 0]
