@@ -121,11 +121,14 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
     # by <= 7 halvings of the detected stride-multiple.  Shorter offsets
     # shrink the un-matchable head (history < offset is all literals:
     # period 47 detected as 3008 wastes a 3 KiB literal head per block).
-    # Validity of each halving is an exact 4-byte equality test at 16
-    # sampled positions — ONE fused gather; a false accept needs 16
+    # Validity of each halving is an exact 4-byte equality test at 8
+    # sampled positions — ONE fused gather; a false accept needs 8
     # accidental 4-byte collisions, and even then hints stay byte-true
-    # (the matcher verifies equality), so the risk is ratio-only.
-    s2 = 16
+    # (the matcher verifies equality), so the risk is ratio-only.  The
+    # 4 KiB window / 8 probes trimmed the refine stage ~2x on-chip
+    # with no measured ratio change; candidates past the window keep
+    # their unrefined (byte-true) multiple.
+    s2 = 8
     halvings = 8
     # Validation reads stay in a TAIL WINDOW of the block: a whole-plane
     # uint32 view + gather measured ~6 ms per 256 x 128 KiB (TPU gather
@@ -134,7 +137,7 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
     # smaller.  Candidates beyond the window keep their unrefined delta
     # — still a byte-true multiple of the period (the match kernel
     # verifies equality), just with a longer literal head.
-    win = min(L, 8192)
+    win = min(L, 4096)
     wbase = L - win
     wb = planes[:, wbase:].astype(jnp.uint32)
     w32 = (wb[:, 0:win - 3]
