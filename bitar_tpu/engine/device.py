@@ -29,6 +29,7 @@ from __future__ import annotations
 import concurrent.futures
 import enum
 import functools
+import os
 import threading
 from dataclasses import dataclass, field
 
@@ -276,6 +277,19 @@ class Engine:
             max_slots=self.config.max_pool_slots,
             device=self.device)
         self.state = EngineState.STARTED
+        if (self.config.use_tpu_kernels
+                and self.config.plan_build == "background"):
+            # Prefault the planner's chunk scratch off the critical path
+            # (this microVM faults fresh pages at ~0.2 GB/s, so the
+            # FIRST plan build otherwise eats ~2 s of faults).  Runs on
+            # the plan worker: any later background build queues behind
+            # it, so the first real build finds warm pages.  The
+            # reference preallocates its memzone pool at Initialize the
+            # same way (memory.cc kMinPreallocateMemzones).
+            if self._plan_executor is None:
+                self._plan_executor = concurrent.futures.ThreadPoolExecutor(
+                    1, thread_name_prefix="btpu-plan")
+            self._plan_executor.submit(self._prewarm_plan_scratch)
         logger.info("engine started on %s: codec=%s block=%d slot=%d pool=%d",
                     self.device, self.config.codec.value, self.config.block_size,
                     self.config.slot_size, self.config.max_pool_slots)
@@ -675,6 +689,7 @@ class Engine:
     # scratch only (the flat wire carries just p_used rows).
     _PLAN_MAX_PASSES = 160
     _PLAN_CHUNK_BLOCKS = 256   # bounds native plan scratch (~250 MB/chunk)
+    _PLAN_PREWARM_CHUNKS = 4   # chunk-scratch sets faulted at initialize
 
     def _build_plans(self, manifest: BlockManifest, staging: np.ndarray):
         """Build scheduled decode plans (the fast TPU path) per block.
@@ -737,43 +752,57 @@ class Engine:
                 self._plan_chunk_scratch[key] = bufs
             return bufs
 
+        def plan_one(ci: int, s: int, e: int, brows: int, bufs):
+            lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
+                     if lit_out is not None else None)
+            dq_buf, ra_buf = bufs
+            ctx, pu, p0c, st, lu, dq, ra, ds = native.plan_batch_begin(
+                staging[s:e].reshape(-1),
+                np.arange(e - s, dtype=np.int64) * slot,
+                manifest.comp_len[s:e], manifest.raw_len[s:e],
+                manifest.codec_ids[s:e],
+                nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
+                lit_out=lit_i, lit_stride=cfg.block_size,
+                band_rows=brows, dq_buf=dq_buf, ra_buf=ra_buf)
+            okc = st == 0
+            pu[~okc] = 0
+            p0c[~okc] = 0
+            ds[~okc] = 0
+            return (ctx, s, e), pu, p0c, okc, lu, dq, ra, ds
+
         def plan_all(brows: int):
-            ctxs, pus, p0s, oks, lus, dss = ([] for _ in range(6))
-            dq_parts, ra_parts = [], []
-            for ci, s in enumerate(range(0, n, chunk)):
-                e = min(n, s + chunk)
-                lit_i = (lit_out[s * cfg.block_size:e * cfg.block_size]
-                         if lit_out is not None else None)
-                dq_buf, ra_buf = chunk_bufs(ci, e - s)
-                ctx, pu, p0c, st, lu, dq, ra, ds = native.plan_batch_begin(
-                    staging[s:e].reshape(-1),
-                    np.arange(e - s, dtype=np.int64) * slot,
-                    manifest.comp_len[s:e], manifest.raw_len[s:e],
-                    manifest.codec_ids[s:e],
-                    nrows, self._PLAN_MAX_PASSES, cb=FLAT_CB,
-                    lit_out=lit_i, lit_stride=cfg.block_size,
-                    band_rows=brows, dq_buf=dq_buf, ra_buf=ra_buf)
-                okc = st == 0
-                pu[~okc] = 0
-                p0c[~okc] = 0
-                ds[~okc] = 0
-                # Keep the raw per-chunk dense planes (calloc pages —
-                # cheap until touched); compaction happens in ONE
-                # threaded native pass once the global dense counts are
-                # known (the per-chunk numpy fancy-index + concat +
-                # transpose chain measured ~1.9 s of the 6 s plan build
-                # for a 1024-block unit).
-                dq_parts.append(dq)
-                ra_parts.append(ra)
-                ctxs.append((ctx, s, e))
-                pus.append(pu)
-                p0s.append(p0c)
-                oks.append(okc)
-                lus.append(lu)
-                dss.append(ds)
-            return (ctxs, np.concatenate(pus), np.concatenate(p0s),
-                    np.concatenate(oks), np.concatenate(lus),
-                    dq_parts, ra_parts, np.concatenate(dss))
+            # Chunks plan CONCURRENTLY: plan_batch_begin is one native
+            # call (ctypes drops the GIL), chunks touch disjoint staging
+            # rows and their own scratch buffers, and the dominant cold
+            # cost — first-touch page faults on ~130 MB of dense planes
+            # per chunk at this microVM's ~0.2 GB/s fault rate — faults
+            # in parallel too.  Measured: warm 1024-block build 0.62 s
+            # sequential -> ~0.2 s on 4 cores.  Buffers are handed out
+            # serially first (np.empty is virtual — pages fault inside
+            # the native call).  Keep the raw per-chunk dense planes;
+            # compaction happens in ONE threaded native pass once the
+            # global dense counts are known (the per-chunk numpy
+            # fancy-index chain measured ~1.9 s of the 6 s plan build).
+            spans = [(ci, s, min(n, s + chunk))
+                     for ci, s in enumerate(range(0, n, chunk))]
+            bufs = [chunk_bufs(ci, e - s) for ci, s, e in spans]
+            if len(spans) > 1:
+                with concurrent.futures.ThreadPoolExecutor(
+                        min(len(spans), os.cpu_count() or 1)) as pool:
+                    parts = list(pool.map(
+                        lambda a: plan_one(a[0][0], a[0][1], a[0][2],
+                                           brows, a[1]),
+                        zip(spans, bufs)))
+            else:
+                parts = [plan_one(ci, s, e, brows, b)
+                         for (ci, s, e), b in zip(spans, bufs)]
+            ctxs = [p[0] for p in parts]
+            return (ctxs, np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
+                    np.concatenate([p[3] for p in parts]),
+                    np.concatenate([p[4] for p in parts]),
+                    [p[5] for p in parts], [p[6] for p in parts],
+                    np.concatenate([p[7] for p in parts]))
 
         def abort_all(ctxs):
             for ctx, _, _ in ctxs:
@@ -1360,6 +1389,30 @@ class Engine:
         if unit._staging is not None:
             return unit._staging
         return np.asarray(self.arena.gather_burst([r.slot for r in unit.refs]))
+
+    def _prewarm_plan_scratch(self) -> None:
+        """Fault the full-chunk planner scratch pages (see initialize).
+
+        Fills run on one thread per array: faults on this microVM are
+        ~0.2 GB/s single-threaded but scale ~3x across cores, and the
+        first background plan build queues behind this task — every
+        second saved here comes straight off the first join."""
+        nrows = self.config.block_size // 128
+        nb = self._PLAN_CHUNK_BLOCKS
+        with self._plan_lock:
+            fresh = []
+            for ci in range(self._PLAN_PREWARM_CHUNKS):
+                key = (ci, nb, nrows)
+                if key in self._plan_chunk_scratch:
+                    continue
+                bufs = (np.empty((nb, nrows, 128), np.int16),
+                        np.empty((nb, 64, nrows), np.int32))
+                self._plan_chunk_scratch[key] = bufs
+                fresh.extend(bufs)
+            if fresh:
+                with concurrent.futures.ThreadPoolExecutor(
+                        min(len(fresh), os.cpu_count() or 1)) as pool:
+                    list(pool.map(lambda b: b.fill(0), fresh))
 
     def _submit_plan_build(self, manifest: BlockManifest,
                            staging: np.ndarray):
