@@ -84,10 +84,11 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
                (nseg * wcap) is the UNIT of cost for the emission-wire
                scatters (measured ~0.55 ms/block at the worst-case 86
                slots/segment vs ~0.05 at 8), and on detector-driven
-               periodic data real segments carry 1-2 sequences.  A block
-               where ANY segment overflows wcap reports
-               ``total = length + 1`` — the caller's RAW-fallback
-               contract handles it (no corrupt emission is possible).
+               periodic data real segments carry 1-2 sequences.  A
+               segment overflowing wcap keeps its first wcap sequences
+               and emits the rest of its bytes as literals — a valid
+               (just less compressed) stream whose exact ``total`` the
+               caller's size-based RAW check still governs.
                None = the worst-case bound seg//min_match + 1 (never
                overflows; the legacy full-budget parse).
 
@@ -186,9 +187,13 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
             jnp.zeros((nstep, n, nseg), jnp.int32))
     pos_f, _, P, M, O = lax.while_loop(
         cond, step, (pos0, jnp.int32(0)) + rec0)
-    # A segment still active after nstep steps means the wcap budget
-    # truncated its parse: the block's layout would DROP sequences, so
-    # force the RAW-fallback contract instead (total > lengths).
+    # A segment still active after nstep steps had its parse truncated
+    # by the wcap budget.  That is a RATIO event, not a correctness
+    # event: dropped matches' bytes flow into the next taken sequence's
+    # literal run (prev_end tracks taken ends only), so the partial
+    # parse is a valid LZ4 stream and ``total`` stays exact — the
+    # caller's size-based RAW check still governs incompressible rows.
+    # The flag is reported for stats/diagnostics.
     overflow = (pos_f < seg_ends[None, :]).any(axis=1)
     # [W, N, G] -> [N, G*W]; (segment, step) order IS position order.
     P = jnp.moveaxis(P, 0, 2).reshape(n, nseg * nstep)
@@ -212,7 +217,7 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     csum = jnp.cumsum(sizes, axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
-    total = jnp.where(overflow, lengths + 1, csum[:, -1] + size_f)
+    total = csum[:, -1] + size_f
 
     # Per-slot fields with the final literals-only sequence appended as
     # slot M (mv = -1 there too, but lit fields are real).
@@ -255,7 +260,7 @@ def _layout_from_records(P, M, O, overflow, lengths):
     csum = jnp.cumsum(sizes, axis=1)
     starts = jnp.concatenate(
         [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
-    total = jnp.where(overflow, lengths + 1, csum[:, -1] + size_f)
+    total = csum[:, -1] + size_f
     return dict(
         lit_len=jnp.concatenate([lit_len, final_lit[:, None]], axis=1),
         lit_start=jnp.concatenate([prev_end, final_start[:, None]], axis=1),
@@ -382,9 +387,10 @@ def materialize(planes, layout, *, out_width: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "seg", "min_match", "mm", "detect_k", "interpret", "offsets"))
+    "seg", "min_match", "mm", "detect_k", "interpret", "offsets", "wcap",
+    "detect_fft"))
 def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
-                 interpret, offsets):
+                 interpret, offsets, wcap=8, detect_fft=False):
     """Fused match + parse: ONE XLA executable (one dispatch — the dev
     tunnel charges ~3-4 ms per launch regardless of work, measured
     2026-08-19, so stage-per-launch composition dominates small-batch
@@ -397,10 +403,25 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
             interpret=interpret, max_match=mm, emit_values=True)
     else:
         from .pallas.lz4_match_dyn import (detect_offsets,
+                                           detect_offsets_fft,
                                            find_matches_dyn,
                                            find_matches_parse_dyn)
         offs, _cnt = detect_offsets(
             planes, k=detect_k, max_off=min(0xFFFF, L - 128))
+        if detect_fft:
+            # FFT autocorrelation candidates catch periods the sampled
+            # grid cannot see (non-stride-multiple large periods);
+            # duplicates of a sampled candidate zero out so they don't
+            # burn matcher iterations.
+            foffs, _ = detect_offsets_fft(
+                planes, k=2, max_off=min(0xFFFF, L - 128))
+            dup = (foffs[:, :, None] == offs[:, None, :]).any(axis=2)
+            foffs = jnp.where(dup, 0, foffs)
+            offs = jnp.concatenate([offs, foffs], axis=1)
+            # Compact nonzero offsets to the front: the matcher loops
+            # the first ``noff`` slots only.
+            order = jnp.argsort(offs == 0, axis=1, stable=True)
+            offs = jnp.take_along_axis(offs, order, axis=1)
         noff = (offs > 0).sum(axis=1).astype(jnp.int32)
         # Detector-driven parses carry 1-2 sequences per segment; wcap=8
         # keeps the slot arrays small, with dense-sequence blocks
@@ -413,7 +434,7 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
                 and mm <= seg and 8 <= seg // 128):
             P, M, O, overflow = find_matches_parse_dyn(
                 planes.reshape(n, nrows, 128), noff, offs, lengths,
-                nrows=nrows, seg=seg, min_match=min_match, wcap=8,
+                nrows=nrows, seg=seg, min_match=min_match, wcap=wcap,
                 max_match=mm, interpret=interpret)
             return _layout_from_records(P, M, O, overflow, lengths)
         mlen, moff = find_matches_dyn(
@@ -421,7 +442,7 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
             max_match=mm, interpret=interpret)
         return parse_and_size(
             mlen.reshape(n, L), moff.reshape(n, L), lengths,
-            seg=seg, min_match=min_match, length=L, wcap=8)
+            seg=seg, min_match=min_match, length=L, wcap=wcap)
     # The legacy static-offset path keeps the worst-case budget (its
     # tests exercise dense parses).
     return parse_and_size(
@@ -431,14 +452,15 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
 
 @functools.partial(jax.jit, static_argnames=(
     "seg", "min_match", "mm", "detect_k", "interpret", "offsets",
-    "out_width"))
+    "out_width", "wcap", "detect_fft"))
 def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
-              offsets, out_width):
+              offsets, out_width, wcap=8, detect_fft=False):
     """Fully fused compress pipeline (explicit emission width): detect +
     match + parse + materialize in one dispatch."""
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
-                          offsets=offsets)
+                          offsets=offsets, wcap=wcap,
+                          detect_fft=detect_fft)
     out = _emit(planes, layout, out_width=out_width, interpret=interpret)
     return out, layout["total"]
 
@@ -448,7 +470,7 @@ def _emit(planes, layout, *, out_width: int, interpret: bool):
     (ll/off 16-bit, ls 17-bit, slot intervals in [0, ow]); the XLA
     materialize otherwise (wide emission planes)."""
     L = planes.shape[1]
-    if out_width <= 8192 and L <= (1 << 17) and L % 128 == 0 \
+    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
             and out_width % 8 == 0:
         from .pallas.lz4_emit import materialize_pallas
         return materialize_pallas(planes, layout, out_width=out_width,
@@ -506,7 +528,9 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
                            max_match: int | None = None,
                            out_width: int | None = None,
                            interpret: bool = False,
-                           detect_k: int = 4):
+                           detect_k: int = 4,
+                           wcap: int = 8,
+                           detect_fft: bool = False):
     """Full on-device LZ4 compression of a batch of blocks.
 
     Args:
@@ -544,10 +568,11 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
         # Single fused dispatch (see _match_parse: ~3-4 ms/launch floor).
         return _pipeline(planes, lengths, seg=seg, min_match=min_match,
                          mm=mm, detect_k=detect_k, interpret=interpret,
-                         offsets=offsets, out_width=out_width)
+                         offsets=offsets, out_width=out_width, wcap=wcap,
+                         detect_fft=detect_fft)
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
-                          offsets=offsets)
+                          offsets=offsets, wcap=wcap, detect_fft=detect_fft)
     sizes = np.asarray(layout["total"])
     lens = np.asarray(lengths)
     good = sizes < lens

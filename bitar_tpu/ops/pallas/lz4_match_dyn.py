@@ -164,6 +164,38 @@ def detect_offsets(planes, *, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
     return offs, top.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_off"))
+def detect_offsets_fft(planes, *, k: int = 2, max_off: int = 0xFFFF):
+    """Top-k match offsets by FFT autocorrelation (Wiener-Khinchin).
+
+    The sampled-sort detector only sees deltas that are multiples of
+    its stride, so a strong period g is invisible whenever
+    lcm(stride, g) exceeds the offset window — e.g. a corpus tiled at
+    40694 bytes (= 2 x 20347) never collides on a 64-byte grid.  The
+    autocorrelation peak finds ANY dominant period at lag resolution 1
+    in one rfft/irfft pair (~0.1 ms/128 KiB block on v5e — an order
+    costlier than the sampled detector, so callers opt in via
+    ``detect_fft`` where text-shaped data is expected).
+
+    A wrong candidate costs a wasted matcher slot, never a wrong byte:
+    the match kernel verifies byte equality (same contract as the
+    sampled detector's hash collisions).
+
+    Returns (offs [N, k] int32 in [8, max_off] — 0 marks a peak that
+    fell outside the window — and the raw peak scores)."""
+    n, L = planes.shape
+    x = planes.astype(jnp.float32)
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    F = jnp.fft.rfft(x, axis=1)
+    ac = jnp.fft.irfft(F * jnp.conj(F), n=L, axis=1)
+    # Lags < 8 are trivial self-similarity (and below min_match reach);
+    # the window cap keeps offsets encodable in 16 bits.
+    ac = ac.at[:, :8].set(-jnp.inf)
+    top, ti = lax.top_k(ac[:, :min(max_off, L - 1) + 1], k)
+    offs = jnp.where(top > 0, ti.astype(jnp.int32), 0)
+    return offs, top
+
+
 def _dyn_match_kernel(noff_ref, offs_ref, comp_ref, len_ref, off_ref,
                       *, nrows, max_match, max_qbit):
     """One grid step scores one block's detected offsets.
