@@ -387,7 +387,7 @@ def main() -> int:
     # planes, chained launches, tiny sync.  256-block launches amortize
     # the ~3-4 ms tunnel dispatch floor; seg=1024 + OW=2048 is the
     # measured operating point (r4: 28.3 ms / 33.5 MB = 1.19 GB/s).
-    dev_comp = dev_ratio = None
+    dev_comp = dev_ratio = dev_comp32 = dev_text_ratio = None
     if on_tpu:
         try:
             from bitar_tpu.ops.device_compress import compress_blocks_device
@@ -427,6 +427,65 @@ def main() -> int:
                   f"({dev_comp:.3f} GB/s, {nd} blocks, ratio "
                   f"{dev_ratio:.3f}, fused detect+match+parse+emit)",
                   file=sys.stderr)
+            # Launch-amortized arm: the dev tunnel charges a ~24 ms
+            # dispatch-sync RTT per timing cycle (measured 2026-08-20),
+            # i.e. ~3 ms/launch at REPS=8 — 25-35% of a ~9 ms launch.
+            # 32 queued launches cut that to <1 ms/launch; steady-state
+            # pipelines run at this depth, so report it alongside the
+            # REPS-comparable number rather than replacing it.
+            best32 = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(32):
+                    last = compress_blocks_device(
+                        dplanes, dlen, seg=dseg, min_match=6, out_width=dow)
+                np.asarray(last[0].reshape(-1)[:1])
+                np.asarray(last[1][:1])
+                best32 = min(best32, (time.perf_counter() - t0) / 32)
+            dev_comp32 = nd * BLOCK / best32 / 1e9
+            print(f"bench: device-offload compress depth-32 "
+                  f"{best32*1e3:.2f} ms/launch ({dev_comp32:.3f} GB/s)",
+                  file=sys.stderr)
+            # Device-path ratio on the markdown corpus: real text needs
+            # the FFT period detector (the sampled grid cannot see the
+            # corpus' non-64-multiple tiling period) and a wire wide
+            # enough for the per-block literal head (no history exists
+            # before one period), chunked so the broadcast-lane
+            # emission plane stays bounded.
+            tow, tchunk = 49152, 64
+            tplanes = np.frombuffer(
+                make_text_corpus(nd)[:nd * BLOCK], np.uint8).reshape(
+                    nd, BLOCK)
+            ttot = 0
+            tdevn = 0
+            t_text0 = time.perf_counter()
+            for s in range(0, nd, tchunk):
+                tdp = jax.device_put(tplanes[s:s + tchunk])
+                tl = jax.device_put(
+                    np.full(tdp.shape[0], BLOCK, np.int32))
+                tout, tsizes = compress_blocks_device(
+                    tdp, tl, seg=dseg, min_match=6, out_width=tow,
+                    detect_fft=True)
+                tsz = np.asarray(tsizes)
+                thost = np.asarray(tout)
+                for i in range(tdp.shape[0]):
+                    if tsz[i] >= BLOCK or tsz[i] > tow:
+                        ttot += BLOCK
+                        continue
+                    tdevn += 1
+                    dec = np.asarray(_native.lz4_decompress(
+                        thost[i, :tsz[i]], BLOCK))
+                    assert dec.tobytes() == tplanes[s + i].tobytes(), \
+                        f"devcomp text blk {s + i}"
+                    ttot += int(tsz[i])
+            t_text = time.perf_counter() - t_text0
+            dev_text_ratio = nd * BLOCK / ttot
+            print(f"bench: device-offload TEXT ratio {dev_text_ratio:.3f} "
+                  f"({tdevn}/{nd} blocks device-compressed, "
+                  f"{nd * BLOCK / t_text / 1e9:.2f} GB/s incl. h2d+"
+                  f"readback+verify; FFT offsets + partial parse)",
+                  file=sys.stderr)
         except Exception as e:                       # secondary metric only
             print(f"bench: device-compress phase skipped: {e}", file=sys.stderr)
 
@@ -452,7 +511,11 @@ def main() -> int:
         "snappy_compress_GBps": round(snappy_comp, 4) if snappy_comp else None,
         "text_decompress_GBps": round(text_dec, 4) if text_dec else None,
         "device_offload_compress_GBps": round(dev_comp, 4) if dev_comp else None,
+        "device_offload_compress_depth32_GBps": round(dev_comp32, 4)
+        if dev_comp32 else None,
         "device_offload_ratio": round(dev_ratio, 4) if dev_ratio else None,
+        "device_offload_text_ratio": round(dev_text_ratio, 4)
+        if dev_text_ratio else None,
     }))
     return 0
 
