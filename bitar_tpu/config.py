@@ -228,6 +228,12 @@ class EngineConfig:
                                         # LZ4 (+Snappy for tpu*) and
                                         # 16KiB-aligned blocks
     match_offsets: tuple[int, ...] = () # () -> kernel default candidate set
+    detect_fft: bool = False            # device matcher: add FFT-autocorr
+                                        # period candidates (finds periods
+                                        # the 64-byte sampled grid cannot
+                                        # see, e.g. text tiled at a
+                                        # non-64-multiple; ~0.1 ms/128 KiB
+                                        # block extra detect cost)
     commit: str = "eager"               # when compressed bytes reach the
                                         # device arena: "eager" (during
                                         # compress, pipelined with the

@@ -548,7 +548,7 @@ class Engine:
             dplanes, manifest.raw_len.astype(np.int32),
             seg=min(self._DEVICE_SEG, L), min_match=cfg.min_match,
             offsets=tuple(cfg.match_offsets) or None,
-            interpret=cfg.interpret)
+            interpret=cfg.interpret, detect_fft=cfg.detect_fft)
         szs = np.asarray(layout["total"])               # tiny readback
         fallback = szs >= manifest.raw_len
         dst_len = np.where(fallback, manifest.raw_len, szs).astype(np.int32)
@@ -568,6 +568,13 @@ class Engine:
                 # typically carries ~2 KiB.
                 wmax = int(szs[good].max(initial=128))
                 width = 128 << max(0, (-(-wmax // 128) - 1).bit_length())
+                # 3/2 midpoint steps above 16 K keep text-sized wires
+                # (e.g. one-period literal heads, ~41 KiB) under the
+                # Pallas emitter's 16-bit start fields instead of
+                # rounding up to 64 K and falling back to the XLA
+                # materialize.
+                if width > 16384 and wmax <= (width // 4) * 3:
+                    width = (width // 4) * 3
                 width = min(width, -(-lz4_bound(L) // 128) * 128)
                 out = materialize(dplanes, layout, out_width=width)
                 rows = out[jnp.asarray(good)]
@@ -1410,9 +1417,21 @@ class Engine:
                 self._plan_chunk_scratch[key] = bufs
                 fresh.extend(bufs)
             if fresh:
+                def fill(b):
+                    # Deprioritize the fill threads: prewarm overlaps
+                    # the caller's first compress, and an equal-priority
+                    # memset measured a ~2.5x slowdown of that compress
+                    # (CONFIGS config 1).  Per-thread niceness is a
+                    # Linux extension of setpriority; best-effort.
+                    try:
+                        os.setpriority(os.PRIO_PROCESS,
+                                       threading.get_native_id(), 15)
+                    except (OSError, AttributeError):
+                        pass
+                    b.fill(0)
                 with concurrent.futures.ThreadPoolExecutor(
                         min(len(fresh), os.cpu_count() or 1)) as pool:
-                    list(pool.map(lambda b: b.fill(0), fresh))
+                    list(pool.map(fill, fresh))
 
     def _submit_plan_build(self, manifest: BlockManifest,
                            staging: np.ndarray):

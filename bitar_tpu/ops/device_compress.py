@@ -19,7 +19,8 @@ the bench text class at ratio 1.00; the detector scores it ~98x).
    ``lax.while_loop`` jumps the cursor match-to-match (segmented
    reverse-cummin precomputes ``next_match_pos``).  Slot arrays are
    sized ``wcap`` (not the worst case) — a segment overflowing its
-   budget forces the block's RAW fallback instead of a bigger wire.
+   budget keeps its first ``wcap`` sequences and emits the rest as
+   literals (a valid, just less compressed, stream).
 4. **Byte materialization** (XLA): per-slot fields scatter once at each
    sequence's output start (cost = slots, hence ``wcap``), packed into
    THREE monotone-key words for small emission widths; native cummax
@@ -500,7 +501,8 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
                        offsets: tuple[int, ...] | None = None,
                        max_match: int | None = None,
                        detect_k: int = 4,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       detect_fft: bool = False):
     """Match + parse stages of full-offload compression (no emission).
 
     Returns the sequence ``layout`` dict from :func:`parse_and_size`;
@@ -519,7 +521,8 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
     _validate_args(L, seg, mm, offsets)
     return _match_parse(planes, jnp.asarray(lengths, jnp.int32), seg=seg,
                         min_match=min_match, mm=mm, detect_k=detect_k,
-                        interpret=interpret, offsets=offsets)
+                        interpret=interpret, offsets=offsets,
+                        detect_fft=detect_fft)
 
 
 def compress_blocks_device(planes, lengths, *, seg: int = 1024,
