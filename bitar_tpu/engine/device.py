@@ -279,17 +279,16 @@ class Engine:
         self.state = EngineState.STARTED
         if (self.config.use_tpu_kernels
                 and self.config.plan_build == "background"):
-            # Prefault the planner's chunk scratch off the critical path
-            # (this microVM faults fresh pages at ~0.2 GB/s, so the
-            # FIRST plan build otherwise eats ~2 s of faults).  Runs on
-            # the plan worker: any later background build queues behind
-            # it, so the first real build finds warm pages.  The
-            # reference preallocates its memzone pool at Initialize the
-            # same way (memory.cc kMinPreallocateMemzones).
-            if self._plan_executor is None:
-                self._plan_executor = concurrent.futures.ThreadPoolExecutor(
-                    1, thread_name_prefix="btpu-plan")
-            self._plan_executor.submit(self._prewarm_plan_scratch)
+            # Prefault the planner's chunk scratch NOW, synchronously:
+            # this microVM faults fresh pages at ~0.2 GB/s, so the
+            # first plan build otherwise eats ~2 s of faults — and an
+            # async prewarm just moves that contention into the
+            # caller's first compress (measured: bench compress 3.8 ->
+            # 2.0 GB/s with the fill racing the matcher).  Init-time
+            # preallocation is the reference's own discipline
+            # (memory.cc kMinPreallocateMemzones).  Process-wide pool:
+            # later engines find it warm and skip.
+            self._prewarm_plan_scratch()
         logger.info("engine started on %s: codec=%s block=%d slot=%d pool=%d",
                     self.device, self.config.codec.value, self.config.block_size,
                     self.config.slot_size, self.config.max_pool_slots)
@@ -1417,21 +1416,9 @@ class Engine:
                 self._plan_chunk_scratch[key] = bufs
                 fresh.extend(bufs)
             if fresh:
-                def fill(b):
-                    # Deprioritize the fill threads: prewarm overlaps
-                    # the caller's first compress, and an equal-priority
-                    # memset measured a ~2.5x slowdown of that compress
-                    # (CONFIGS config 1).  Per-thread niceness is a
-                    # Linux extension of setpriority; best-effort.
-                    try:
-                        os.setpriority(os.PRIO_PROCESS,
-                                       threading.get_native_id(), 15)
-                    except (OSError, AttributeError):
-                        pass
-                    b.fill(0)
                 with concurrent.futures.ThreadPoolExecutor(
                         min(len(fresh), os.cpu_count() or 1)) as pool:
-                    list(pool.map(fill, fresh))
+                    list(pool.map(lambda b: b.fill(0), fresh))
 
     def _submit_plan_build(self, manifest: BlockManifest,
                            staging: np.ndarray):
