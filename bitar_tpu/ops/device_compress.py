@@ -194,7 +194,7 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     # literal run (prev_end tracks taken ends only), so the partial
     # parse is a valid LZ4 stream and ``total`` stays exact — the
     # caller's size-based RAW check still governs incompressible rows.
-    # The flag is reported for stats/diagnostics.
+    # The flag ships as ``layout['truncated']`` for diagnostics.
     overflow = (pos_f < seg_ends[None, :]).any(axis=1)
     # [W, N, G] -> [N, G*W]; (segment, step) order IS position order.
     P = jnp.moveaxis(P, 0, 2).reshape(n, nseg * nstep)
@@ -232,6 +232,7 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
         starts=starts,
         total=total,
         nseq=taken.sum(axis=1),
+        truncated=overflow,
     )
 
 
@@ -271,6 +272,7 @@ def _layout_from_records(P, M, O, overflow, lengths):
         starts=starts,
         total=total,
         nseq=taken.sum(axis=1),
+        truncated=overflow,
     )
 
 
