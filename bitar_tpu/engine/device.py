@@ -533,8 +533,8 @@ class Engine:
         exceed the emission width) store RAW from the same device-
         resident planes — the incompressible escape (``config.cc:60-73``)
         without a host round-trip."""
-        from ..ops.device_compress import (lz4_bound, match_parse_device,
-                                           materialize)
+        from ..ops.device_compress import (_emit, lz4_bound,
+                                           match_parse_device)
 
         cfg = self.config
         n, L = manifest.nblocks, cfg.block_size
@@ -575,7 +575,12 @@ class Engine:
                 if width > 16384 and wmax <= (width // 4) * 3:
                     width = (width // 4) * 3
                 width = min(width, -(-lz4_bound(L) // 128) * 128)
-                out = materialize(dplanes, layout, out_width=width)
+                # _emit dispatches to the Pallas emission kernel when
+                # the wire ranges fit (ow < 2^16) — the engine path
+                # previously called the XLA materialize directly and
+                # never reached the fast emitter.
+                out = _emit(dplanes, layout, out_width=width,
+                            interpret=cfg.interpret)
                 rows = out[jnp.asarray(good)]
                 for s in range(0, good.size, cfg.burst_size):
                     e = min(good.size, s + cfg.burst_size)
