@@ -469,15 +469,20 @@ def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
 
 
 def _emit(planes, layout, *, out_width: int, interpret: bool):
-    """Emission dispatch: the Pallas kernel when the wire ranges fit
-    (ll/off 16-bit, ls 17-bit, slot intervals in [0, ow]); the XLA
-    materialize otherwise (wide emission planes)."""
+    """Emission dispatch: the packed-lane Pallas kernel when the wire
+    ranges fit (ll/off 16-bit, ls 17-bit, start key < 2^16, lane-tiled
+    width); the windowed broadcast kernel for non-128-multiple widths;
+    the XLA materialize otherwise (wide emission planes)."""
     L = planes.shape[1]
-    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
-            and out_width % 8 == 0:
-        from .pallas.lz4_emit import materialize_pallas
-        return materialize_pallas(planes, layout, out_width=out_width,
-                                  interpret=interpret)
+    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0:
+        if out_width % 128 == 0:
+            from .pallas.lz4_emit import materialize_pallas_packed
+            return materialize_pallas_packed(
+                planes, layout, out_width=out_width, interpret=interpret)
+        if out_width % 8 == 0:
+            from .pallas.lz4_emit import materialize_pallas
+            return materialize_pallas(planes, layout, out_width=out_width,
+                                      interpret=interpret)
     return materialize(planes, layout, out_width=out_width)
 
 

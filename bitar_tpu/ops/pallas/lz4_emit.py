@@ -284,3 +284,231 @@ def materialize_pallas(planes, layout, *, out_width: int,
     )(layout["total"].astype(jnp.int32), wins,
       planes.reshape(n, nrows, LANES), *([bundle_c] * win))
     return out[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# Packed-lane emission (v2): output bytes on (row, lane), no broadcast.
+# ---------------------------------------------------------------------------
+
+#: wire row map inside the packed kernel's fb operand: rows 0-2 carry
+#: the start key s1 = start+1 byte-decomposed (17 bits), 3-4 lit_len,
+#: 5-6 lit_start>>7, 7 lit_start&127, 8-9 mv+1, 10-11 offset.
+_PK_ROWS = 12
+
+
+def _pmax2d(v, *, R):
+    """Row-major 2D prefix-max of a [R, 128] int32 plane (all >= 0).
+
+    Lane prefix by masked log-shifts, then an exclusive row carry from
+    rotate-max row totals — every intermediate stays full-width [R,
+    128] (the v5e Mosaic narrowing hits single-lane slice chains)."""
+    lane = lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    rowi = lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    p = v
+    s = 1
+    while s < LANES:
+        sh = jnp.where(lane >= s, pltpu.roll(p, s, axis=1), 0)
+        p = jnp.maximum(p, sh)
+        s *= 2
+    m = p                                    # rotate-max -> row max on all lanes
+    s = 1
+    while s < LANES:
+        m = jnp.maximum(m, pltpu.roll(m, s, axis=1))
+        s *= 2
+    c = jnp.where(rowi >= 1, pltpu.roll(m, 1, axis=0), 0)   # exclusive
+    s = 1
+    while s < R:
+        sh = jnp.where(rowi >= s, pltpu.roll(c, s, axis=0), 0)
+        c = jnp.maximum(c, sh)
+        s *= 2
+    return jnp.maximum(p, c)
+
+
+def _packed_kernel(total_ref, plane_ref, fb_ref, stv_ref, out_ref, *,
+                   R, s_pad, nrows):
+    """One grid step emits one whole block, output bytes PACKED:
+    out[r, l] is wire byte t = r*128 + l (no lane broadcast — 128x less
+    VMEM/HBM than the windowed kernel, and no per-tile windows at all).
+
+    Slot fields reach every byte in two moves: (1) two one-hot factors
+    scatter each real slot's field bytes at its start cell — A[r, k] =
+    (r == start_k >> 7) row-anchors x C[l, k] = (l == start_k & 127)
+    lane-anchors ride ONE int8 matmul per byte row; (2) wires packed
+    (s1 << 8 | byte) propagate by 2D prefix-max ("latest start wins",
+    the XLA materialize's cummax in packed form).  Literal bytes
+    resolve with a data-adaptive loop: each round serves, per row, the
+    smallest outstanding source plane row (and its successor) via a
+    row one-hot matmul — rows inside one literal run finish in one
+    round; a row crossing k runs takes <= k rounds.
+    """
+    b = pl.program_id(0)
+    st = stv_ref[0, 0:1, :]                       # [1, s_pad] (sentinel big)
+    row_i = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    A = (row_i == (st >> 7)).astype(jnp.int8)     # [R, s_pad]
+    lane_i = lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    # int8 elementwise multiply doesn't legalize and a reused [128,
+    # s_pad] i1 mask trips a Mosaic relayout; an int32 0/1 mask with
+    # int32 multiply lowers cleanly.
+    cl32 = (lane_i == (st & 127)).astype(jnp.int32)   # [128, s_pad]
+    fbp = fb_ref[0]                               # [16, s_pad] int8
+
+    def scat(j):
+        C = (cl32 * (fbp[j:j + 1, :].astype(jnp.int32) & 0xFF)
+             ).astype(jnp.int8)
+        return jax.lax.dot_general(
+            A, C, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)     # [R, 128] anchor bytes
+
+    sb = [scat(j) & 0xFF for j in range(_PK_ROWS)]
+    key = sb[0] + (sb[1] << 8) + (sb[2] << 16)    # s1 at anchors, else 0
+
+    def wire(j):
+        return _pmax2d((key << 8) | sb[j], R=R)
+
+    w_start = (_pmax2d(key << 8, R=R) >> 8) - 1
+    ll = (wire(3) & 0xFF) + ((wire(4) & 0xFF) << 8)
+    ls_row = (wire(5) & 0xFF) + ((wire(6) & 0xFF) << 8)
+    ls_lane = wire(7) & 0xFF
+    mv = ((wire(8) & 0xFF) + ((wire(9) & 0xFF) << 8)) - 1
+    off = (wire(10) & 0xFF) + ((wire(11) & 0xFF) << 8)
+
+    lane = lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    rowi = lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    t = rowi * LANES + lane
+    d = t - w_start
+    n_lit_ext = jnp.where(ll >= 15, (ll - 15) // 255 + 1, 0)
+    hdr = 1 + n_lit_ext
+    lit_end = hdr + ll
+
+    token = (jnp.minimum(ll, 15) << 4) | jnp.where(
+        mv >= 0, jnp.minimum(mv, 15), 0)
+    lit_ext = jnp.clip(ll - 15 - 255 * (d - 1), 0, 255)
+    m_ext = jnp.clip(mv - 15 - 255 * (d - lit_end - 2), 0, 255)
+    off_byte = jnp.where(d == lit_end, off & 0xFF, (off >> 8) & 0xFF)
+
+    # Literal bytes: source row/lane with the < 2^16 carry discipline.
+    lane_sum = ls_lane + (d - hdr)
+    lit_row = jnp.clip(ls_row + (lane_sum >> 7), 0, nrows - 1)
+    lane_idx = lane_sum & (LANES - 1)
+    is_lit = (d >= hdr) & (d < lit_end) & (t < total_ref[b])
+
+    plane_a = (plane_ref[0].astype(jnp.int32) - 128).astype(jnp.int8)
+    # row k <- k+1 (Mosaic rejects a whole-plane int8 sublane rotate;
+    # a static slice + concat lowers fine)
+    plane_b = jnp.concatenate([plane_a[1:], plane_a[:1]], axis=0)
+    r_lane = lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
+
+    # The loop carry must avoid i1 vectors (Mosaic can't legalize an
+    # scf.yield of vector<i1>): ``done`` rides as int32 0/1.
+    def lit_cond(state):
+        done, _, it = state
+        return jnp.logical_and(jnp.any(done == 0), it < LANES)
+
+    def lit_body(state):
+        done, acc, it = state
+        c = jnp.min(jnp.where(done != 0, nrows, lit_row), axis=1,
+                    keepdims=True)                       # [R, 1] < 2^16
+        oh = (r_lane == c).astype(jnp.int8)              # [R, nrows]
+        ra = jax.lax.dot_general(
+            oh, plane_a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rb = jax.lax.dot_general(
+            oh, plane_b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # Gather BEFORE selecting: the row choice keys on the
+        # destination element's lit_row, but a where() applied to the
+        # pre-gather planes would be evaluated at the SOURCE lane.
+        pick_a = jnp.take_along_axis(ra, lane_idx, axis=1)
+        pick_b = jnp.take_along_axis(rb, lane_idx, axis=1)
+        pick = jnp.where(lit_row == c, pick_a, pick_b) + 128
+        hit = jnp.logical_and(
+            done == 0,
+            jnp.logical_or(lit_row == c, lit_row == c + 1))
+        return (done | hit.astype(jnp.int32),
+                jnp.where(hit, pick, acc), it + 1)
+
+    done0 = jnp.logical_not(is_lit).astype(jnp.int32)
+    _, lit_byte, _ = lax.while_loop(
+        lit_cond, lit_body,
+        (done0, jnp.zeros((R, LANES), jnp.int32), jnp.int32(0)))
+
+    val = jnp.where(
+        d == 0, token,
+        jnp.where(d < hdr, lit_ext,
+                  jnp.where(d < lit_end, lit_byte,
+                            jnp.where(d < lit_end + 2, off_byte, m_ext))))
+    val = jnp.where(t < total_ref[b], val, 0)
+    out_ref[0] = val.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
+def materialize_pallas_packed(planes, layout, *, out_width: int,
+                              interpret: bool = False):
+    """Packed-lane Pallas emission: same contract as
+    :func:`materialize_pallas` (zeros past ``total``; rows whose total
+    exceeds out_width are garbage under the caller's RAW fallback), but
+    the output carries one byte per (sublane, lane) cell instead of a
+    128-lane broadcast — requires ``out_width % 128 == 0`` and
+    ``out_width < 2^16`` (the wires' 17-bit start key + byte packing).
+    """
+    n, L = planes.shape
+    ow = out_width
+    nrows = L // LANES
+    R = ow // LANES
+    starts = layout["starts"]                       # [N, S]
+    nslots = starts.shape[1]
+    s_pad = -(-nslots // LANES) * LANES
+    SENT = jnp.int32(1 << 20)
+
+    sizes = jnp.diff(starts, axis=1)
+    sizes = jnp.concatenate(
+        [sizes, jnp.maximum(layout["total"][:, None] - starts[:, -1:], 0)],
+        axis=1)
+    real = sizes > 0
+    st_c = jnp.clip(starts, 0, ow - 1)
+    ll_c = jnp.minimum(layout["lit_len"], 0xFFFF)
+    ls_c = jnp.clip(layout["lit_start"], 0, (1 << 17) - 1)
+    mv1 = jnp.clip(jnp.where(layout["mv"] >= 0, layout["mv"] + 1, 0),
+                   0, 0x7FFF)
+    off_c = jnp.clip(layout["off"], 0, 0xFFFF)
+    s1 = jnp.where(real, st_c + 1, 0)
+
+    def bts(v, c):
+        return [((v >> (8 * j)) & 0xFF).astype(jnp.int8) for j in range(c)]
+
+    rows = (bts(s1, 3) + bts(ll_c, 2) + bts(ls_c >> 7, 2)
+            + bts(ls_c & 127, 1) + bts(mv1, 2) + bts(off_c, 2))
+    fb = jnp.stack(rows, axis=1)                    # [N, 12, S] lane-major
+    fb = jnp.pad(fb, ((0, 0), (0, 16 - _PK_ROWS), (0, s_pad - nslots)))
+    stv = jnp.where(real, st_c, SENT)[:, None, :]
+    stv = jnp.pad(stv, ((0, 0), (0, 7), (0, s_pad - nslots)),
+                  constant_values=1 << 20)
+
+    kern = functools.partial(_packed_kernel, R=R, s_pad=s_pad, nrows=nrows)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, nrows, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, s_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, R, LANES), jnp.uint8),
+        interpret=interpret,
+        **kwargs,
+    )(layout["total"].astype(jnp.int32),
+      planes.reshape(n, nrows, LANES), fb, stv)
+    return out.reshape(n, ow)
