@@ -2,10 +2,21 @@
 
 Emits the standard LZ4 byte stream for a batch of blocks from the
 sequence layout (``device_compress.parse_and_size`` /
-``_layout_from_records``).  The XLA materialize pays operand-
-proportional costs for its three wire scatters, cummax propagation and
-the literal gather (measured ~12 ms per 256 x 128 KiB at OW=2048);
-this pair of kernels rebuilds the same bytes with:
+``_layout_from_records``).  Two generations live here:
+
+- ``materialize_pallas_packed`` (the dispatch default for lane-tiled
+  widths): output bytes PACKED one per (sublane, lane) cell — slot
+  fields scatter through two one-hot factors on the MXU, propagate as
+  key-packed wires by 2D-separable prefix-max, and literals resolve
+  with a data-adaptive row loop.  Measured: 2.0 ms per 256 x 128 KiB
+  at OW=2048 (the windowed kernel's broadcast output cost 128x the
+  VPU work: 4.7 ms there, 78 ms at the 48 KiB text width vs 6.0).
+- ``materialize_pallas`` (windowed, for %8 widths): output bytes on
+  sublanes broadcast across lanes, with MXU slot compaction and
+  per-tile slot windows.
+
+The XLA materialize (``device_compress.materialize``) remains the
+fallback above 64 KiB widths.  The windowed design:
 
 1. **MXU slot compaction** (``_compact_kernel``): the layout's slot
    array is (segment, step)-shaped and ~7/8 empty (unused walk steps).
