@@ -301,3 +301,38 @@ def test_engine_detect_fft_knob(rng):
             "period-1338 block should lift the unit ratio via detect_fft")
         assert eng.decompress(unit).tobytes() == data
         eng.recycle(unit)
+
+
+def test_packed_emitter_matches_xla_materialize(rng):
+    # The packed-lane Pallas emitter must reproduce the XLA materialize
+    # byte-for-byte on fuzzed layouts: mixed content classes, tail
+    # blocks, and dense partial parses all in one batch.
+    import jax.numpy as jnp
+
+    from bitar_tpu.ops.device_compress import _match_parse, materialize
+    from bitar_tpu.ops.pallas.lz4_emit import materialize_pallas_packed
+
+    L = 8192
+    blocks = [
+        (b"packed emitter ab " * (L // 18 + 1))[:L],
+        bytes([9]) * L,
+        rng.integers(0, 256, L, np.uint8).tobytes(),
+        np.tile(rng.integers(32, 127, 517, np.uint8), L // 517 + 1)[:L]
+        .tobytes(),
+    ]
+    planes = jnp.asarray(
+        np.stack([np.frombuffer(b, np.uint8) for b in blocks]))
+    lengths = jnp.asarray([L, L, L, L - 100], jnp.int32)
+    lay = _match_parse(planes, lengths, seg=1024, min_match=6, mm=1024,
+                       detect_k=4, interpret=True, offsets=None,
+                       detect_fft=True)
+    tot = np.asarray(lay["total"])
+    for ow in (1024, 2048):
+        a = np.asarray(materialize(planes, lay, out_width=ow))
+        b = np.asarray(materialize_pallas_packed(
+            planes, lay, out_width=ow, interpret=True))
+        for i in range(len(blocks)):
+            t = int(tot[i])
+            if t > ow or t >= int(np.asarray(lengths)[i]):
+                continue                      # garbage-row contract
+            assert (a[i, :t] == b[i, :t]).all(), f"ow={ow} blk {i}"
