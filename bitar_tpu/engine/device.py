@@ -1420,6 +1420,22 @@ class Engine:
                         np.empty((nb, 64, nrows), np.int32))
                 self._plan_chunk_scratch[key] = bufs
                 fresh.extend(bufs)
+            if not self._plan_free:
+                # One prefaulted unit grant too: the first build's other
+                # cold cost is faulting the compact dq/ra planes + flat
+                # wire it hands to the unit (~0.4-1 s for 1024 x 128 KiB
+                # at this VM's fault rate).  Capacities cover a full
+                # prewarm-sized unit at the worst-case dense content;
+                # larger needs regrow on demand as before.
+                nblk = nb * self._PLAN_PREWARM_CHUNKS
+                grant = {
+                    "se": np.empty(4 * nblk * 1024, np.int16),
+                    "sh": np.empty(4 * nblk * 1024, np.int32),
+                    "dq": np.empty(nblk * nrows * 128, np.int16),
+                    "ra": np.empty(nblk * 32 * 128 * 8, np.int32),
+                }
+                self._plan_free.append(grant)
+                fresh.extend(grant.values())
             if fresh:
                 with concurrent.futures.ThreadPoolExecutor(
                         min(len(fresh), os.cpu_count() or 1)) as pool:
