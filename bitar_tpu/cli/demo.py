@@ -365,11 +365,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="block count for --mode skewed")
     p.add_argument("--output", default=None,
                    help="output path for compress/decompress modes")
-    p.add_argument("--matcher", choices=["host", "tpu", "tpu-sort"],
+    p.add_argument("--matcher",
+                   choices=["host", "tpu", "tpu-sort", "device"],
                    default="host",
                    help="match finding: host hash matcher, the Pallas "
                         "candidate-offset kernel, or the device value-sort "
                         "(exact greedy, arbitrary offsets)")
+    p.add_argument("--detect-fft", action="store_true",
+                   help="device matcher: add FFT-autocorrelation period "
+                        "candidates (finds text-shaped periods the "
+                        "sampled detector cannot see)")
     p.add_argument("--codec", choices=[c.value for c in Codec], default="lz4")
     p.add_argument("--block-size", type=int, default=128 * 1024)
     p.add_argument("--burst-size", type=int, default=32)
@@ -452,7 +457,8 @@ def main(argv: list[str] | None = None) -> int:
         codec=Codec(args.codec), block_size=args.block_size,
         burst_size=args.burst_size, checksum=Checksum(args.checksum),
         max_pool_slots=pool, use_tpu_kernels=(args.backend == "tpu"),
-        compress_matcher=args.matcher, min_match=args.min_match)
+        compress_matcher=args.matcher, min_match=args.min_match,
+        detect_fft=args.detect_fft)
 
     driver = Driver.instance()
     print("topology:", driver.describe())
