@@ -168,15 +168,23 @@ def main() -> int:
         print(f"bench: compress run {run}: {dt * 1e3:.1f} ms "
               f"({len(data) / dt / 1e9:.3f} GB/s)", file=sys.stderr)
 
+    # Deferred-commit upload, timed separately: ensure_plans commits
+    # the unit's compressed bytes to the arena first, and through the
+    # dev tunnel that h2d (~64 MB at the h2d_GBps below) dwarfs the
+    # build — fold it into plan_build_ms and the number measures the
+    # link, not the planner.
+    t0 = time.perf_counter()
+    eng._ensure_committed(unit)
+    commit_ms = (time.perf_counter() - t0) * 1e3
     # Plan join: with plan_build="background" the flat wire was built on
-    # the plan worker DURING/after compress (plan-during-emission); this
-    # times what's left at first use — the reference's µs-scale op
-    # assembly analog (memory.cc:351-430).
+    # the plan worker DURING/after compress (plan-during-emission) on
+    # init-prefaulted pool pages; this times what's left at first use —
+    # the reference's µs-scale op assembly analog (memory.cc:351-430).
     t0 = time.perf_counter()
     eng.ensure_plans(unit)
     plan_ms = (time.perf_counter() - t0) * 1e3
-    print(f"bench: plan join {plan_ms:.1f} ms (background build)",
-          file=sys.stderr)
+    print(f"bench: commit upload {commit_ms:.1f} ms; plan join "
+          f"{plan_ms:.1f} ms (background build)", file=sys.stderr)
     pf = unit.plan_flat
     dn = pf["dense"] if pf is not None else None
     print(f"bench: ratio={unit.manifest.ratio():.3f} blocks={unit.nblocks} "
@@ -502,6 +510,7 @@ def main() -> int:
         "combined_GBps": round(combined, 4),
         "decompress_cold_GBps": round(cold_gbps, 4) if cold_gbps else None,
         "plan_build_ms": round(plan_ms, 1),
+        "commit_upload_ms": round(commit_ms, 1),
         "plan_join_cold_ms": round(plan_cold_ms, 1)
         if plan_cold_ms is not None else None,
         "h2d_GBps": round(h2d_gbps, 4) if h2d_gbps else None,
