@@ -323,12 +323,9 @@ class EngineConfig:
                 f"compress_matcher {self.compress_matcher!r} not in "
                 f"(host, tpu, tpu-sort, device)")
         if self.compress_matcher in ("tpu", "tpu-sort", "device"):
-            if self.compress_matcher == "device":
-                if self.codec != Codec.LZ4:
-                    return Status.Invalid(
-                        "device matcher (full offload) supports LZ4")
-            elif self.codec not in (Codec.LZ4, Codec.SNAPPY):
-                return Status.Invalid("tpu matcher supports LZ4 and Snappy")
+            if self.codec not in (Codec.LZ4, Codec.SNAPPY):
+                return Status.Invalid(
+                    "tpu/device matchers support LZ4 and Snappy")
             if self.block_size % (128 * 128) != 0:
                 return Status.Invalid(
                     "tpu matcher needs block_size % 16384 == 0 (lane-tiled rows)")

@@ -543,13 +543,19 @@ class Engine:
             o, ln = int(manifest.raw_off[i]), int(manifest.raw_len[i])
             planes[i, :ln] = raw[o:o + ln]
         dplanes = jnp.asarray(planes)                   # ingest
+        fmt = cfg.codec.value                   # "lz4" or "snappy"
         layout = match_parse_device(
             dplanes, manifest.raw_len.astype(np.int32),
             seg=min(self._DEVICE_SEG, L), min_match=cfg.min_match,
             offsets=tuple(cfg.match_offsets) or None,
-            interpret=cfg.interpret, detect_fft=cfg.detect_fft)
+            interpret=cfg.interpret, detect_fft=cfg.detect_fft, fmt=fmt)
         szs = np.asarray(layout["total"])               # tiny readback
         fallback = szs >= manifest.raw_len
+        if fmt != "lz4":
+            # Snappy emission packs starts in 16 bits; blocks whose
+            # wire would exceed that store RAW (size check would
+            # almost certainly catch them anyway).
+            fallback = fallback | (szs > 65408)
         dst_len = np.where(fallback, manifest.raw_len, szs).astype(np.int32)
         cids = np.where(fallback, _RAW_ID,
                         codec_id(cfg.codec)).astype(np.int32)
@@ -580,7 +586,9 @@ class Engine:
                 # previously called the XLA materialize directly and
                 # never reached the fast emitter.
                 out = _emit(dplanes, layout, out_width=width,
-                            interpret=cfg.interpret)
+                            interpret=cfg.interpret, fmt=fmt,
+                            lengths=jnp.asarray(
+                                manifest.raw_len, jnp.int32))
                 rows = out[jnp.asarray(good)]
                 for s in range(0, good.size, cfg.burst_size):
                     e = min(good.size, s + cfg.burst_size)

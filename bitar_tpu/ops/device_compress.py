@@ -66,10 +66,47 @@ def _ext_bytes(v):
     return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
 
 
+
+def _slot_sizes(taken, lit_len, mv, fmt: str):
+    """Per-slot wire size for a (literals, match) sequence in ``fmt``."""
+    if fmt == "lz4":
+        return jnp.where(
+            taken, 1 + _ext_bytes(lit_len) + lit_len + 2 + _ext_bytes(mv), 0)
+    # snappy: a literal element (tag + 0-3 little-endian length bytes,
+    # snappy.cc:57-66) when lit_len > 0, then one 3-byte copy-2 element
+    # per <= 64-byte chunk of the match (tag 2 | (len-1)<<2 + 2 offset
+    # bytes, snappy.cc:80-82; matches cap at 1024 so <= 16 chunks).
+    n1 = lit_len - 1
+    extra = jnp.where(n1 < 60, 0,
+                      jnp.where(n1 < 256, 1, jnp.where(n1 < 65536, 2, 3)))
+    lit_hdr = jnp.where(lit_len > 0, 1 + extra, 0)
+    copies = (mv + 4 + 63) // 64
+    return jnp.where(taken, lit_hdr + lit_len + 3 * copies, 0)
+
+
+def _final_size(final_lit, fmt: str):
+    """Wire size of the trailing literals-only element."""
+    if fmt == "lz4":
+        return 1 + _ext_bytes(final_lit) + final_lit
+    n1 = final_lit - 1
+    extra = jnp.where(n1 < 60, 0,
+                      jnp.where(n1 < 256, 1, jnp.where(n1 < 65536, 2, 3)))
+    return jnp.where(final_lit > 0, 1 + extra + final_lit, 0)
+
+
+def _wire_base(lengths, fmt: str):
+    """First slot's output offset: 0 for LZ4; the uncompressed-length
+    varint for snappy (1-3 bytes for lengths < 2^21, snappy.cc:26-37)."""
+    if fmt == "lz4":
+        return jnp.zeros_like(lengths)
+    return (1 + (lengths >= (1 << 7)).astype(jnp.int32)
+            + (lengths >= (1 << 14)).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("seg", "min_match", "length",
-                                              "wcap"))
+                                              "wcap", "fmt"))
 def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
-                   length: int, wcap: int | None = 8):
+                   length: int, wcap: int | None = 8, fmt: str = "lz4"):
     """Greedy-parse match hints into LZ4 sequences and size the output.
 
     Args:
@@ -208,16 +245,15 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
         [jnp.zeros((n, 1), jnp.int32), cend[:, :-1]], axis=1)
     lit_len = jnp.where(taken, P - prev_end, 0)
     mv = jnp.where(taken, M - 4, -1)          # -1 marks an empty slot
-    sizes = jnp.where(
-        taken, 1 + _ext_bytes(lit_len) + lit_len + 2 + _ext_bytes(mv), 0)
+    sizes = _slot_sizes(taken, lit_len, mv, fmt)
 
     final_start = cend[:, -1]
     final_lit = lengths - final_start
-    size_f = 1 + _ext_bytes(final_lit) + final_lit
+    size_f = _final_size(final_lit, fmt)
 
-    csum = jnp.cumsum(sizes, axis=1)
-    starts = jnp.concatenate(
-        [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
+    base = _wire_base(lengths, fmt)[:, None]
+    csum = base + jnp.cumsum(sizes, axis=1)
+    starts = jnp.concatenate([base, csum], axis=1)      # [N, M+1]
     total = csum[:, -1] + size_f
 
     # Per-slot fields with the final literals-only sequence appended as
@@ -236,8 +272,8 @@ def parse_and_size(mlen, moff, lengths, *, seg: int, min_match: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _layout_from_records(P, M, O, overflow, lengths):
+@functools.partial(jax.jit, static_argnames=("fmt",))
+def _layout_from_records(P, M, O, overflow, lengths, fmt: str = "lz4"):
     """Sequence records -> emission layout (the parse_and_size tail).
 
     P/M/O: [N, nslots] match position / truncated length / offset in
@@ -252,16 +288,15 @@ def _layout_from_records(P, M, O, overflow, lengths):
         [jnp.zeros((n, 1), jnp.int32), cend[:, :-1]], axis=1)
     lit_len = jnp.where(taken, P - prev_end, 0)
     mv = jnp.where(taken, M - 4, -1)          # -1 marks an empty slot
-    sizes = jnp.where(
-        taken, 1 + _ext_bytes(lit_len) + lit_len + 2 + _ext_bytes(mv), 0)
+    sizes = _slot_sizes(taken, lit_len, mv, fmt)
 
     final_start = cend[:, -1]
     final_lit = lengths - final_start
-    size_f = 1 + _ext_bytes(final_lit) + final_lit
+    size_f = _final_size(final_lit, fmt)
 
-    csum = jnp.cumsum(sizes, axis=1)
-    starts = jnp.concatenate(
-        [jnp.zeros((n, 1), jnp.int32), csum], axis=1)   # [N, M+1]
+    base = _wire_base(lengths, fmt)[:, None]
+    csum = base + jnp.cumsum(sizes, axis=1)
+    starts = jnp.concatenate([base, csum], axis=1)      # [N, M+1]
     total = csum[:, -1] + size_f
     return dict(
         lit_len=jnp.concatenate([lit_len, final_lit[:, None]], axis=1),
@@ -391,9 +426,9 @@ def materialize(planes, layout, *, out_width: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "seg", "min_match", "mm", "detect_k", "interpret", "offsets", "wcap",
-    "detect_fft"))
+    "detect_fft", "fmt"))
 def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
-                 interpret, offsets, wcap=8, detect_fft=False):
+                 interpret, offsets, wcap=8, detect_fft=False, fmt="lz4"):
     """Fused match + parse: ONE XLA executable (one dispatch — the dev
     tunnel charges ~3-4 ms per launch regardless of work, measured
     2026-08-19, so stage-per-launch composition dominates small-batch
@@ -439,50 +474,59 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
                 planes.reshape(n, nrows, 128), noff, offs, lengths,
                 nrows=nrows, seg=seg, min_match=min_match, wcap=wcap,
                 max_match=mm, interpret=interpret)
-            return _layout_from_records(P, M, O, overflow, lengths)
+            return _layout_from_records(P, M, O, overflow, lengths,
+                                        fmt=fmt)
         mlen, moff = find_matches_dyn(
             planes.reshape(n, nrows, 128), noff, offs, nrows=nrows,
             max_match=mm, interpret=interpret)
         return parse_and_size(
             mlen.reshape(n, L), moff.reshape(n, L), lengths,
-            seg=seg, min_match=min_match, length=L, wcap=wcap)
+            seg=seg, min_match=min_match, length=L, wcap=wcap, fmt=fmt)
     # The legacy static-offset path keeps the worst-case budget (its
     # tests exercise dense parses).
     return parse_and_size(
         mlen.reshape(n, L), moff.reshape(n, L), lengths,
-        seg=seg, min_match=min_match, length=L, wcap=None)
+        seg=seg, min_match=min_match, length=L, wcap=None, fmt=fmt)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "seg", "min_match", "mm", "detect_k", "interpret", "offsets",
-    "out_width", "wcap", "detect_fft"))
+    "out_width", "wcap", "detect_fft", "fmt"))
 def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
-              offsets, out_width, wcap=8, detect_fft=False):
+              offsets, out_width, wcap=8, detect_fft=False, fmt="lz4"):
     """Fully fused compress pipeline (explicit emission width): detect +
     match + parse + materialize in one dispatch."""
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
                           offsets=offsets, wcap=wcap,
-                          detect_fft=detect_fft)
-    out = _emit(planes, layout, out_width=out_width, interpret=interpret)
+                          detect_fft=detect_fft, fmt=fmt)
+    out = _emit(planes, layout, out_width=out_width, interpret=interpret,
+                fmt=fmt, lengths=lengths)
     return out, layout["total"]
 
 
-def _emit(planes, layout, *, out_width: int, interpret: bool):
+def _emit(planes, layout, *, out_width: int, interpret: bool,
+          fmt: str = "lz4", lengths=None):
     """Emission dispatch: the packed-lane Pallas kernel when the wire
     ranges fit (ll/off 16-bit, ls 17-bit, start key < 2^16, lane-tiled
     width); the windowed broadcast kernel for non-128-multiple widths;
     the XLA materialize otherwise (wide emission planes)."""
     L = planes.shape[1]
-    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0:
-        if out_width % 128 == 0:
-            from .pallas.lz4_emit import materialize_pallas_packed
-            return materialize_pallas_packed(
-                planes, layout, out_width=out_width, interpret=interpret)
-        if out_width % 8 == 0:
-            from .pallas.lz4_emit import materialize_pallas
-            return materialize_pallas(planes, layout, out_width=out_width,
-                                      interpret=interpret)
+    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
+            and out_width % 128 == 0:
+        from .pallas.lz4_emit import materialize_pallas_packed
+        return materialize_pallas_packed(
+            planes, layout, out_width=out_width, interpret=interpret,
+            fmt=fmt, lengths=lengths)
+    if fmt != "lz4":
+        raise StatusError(Status.Invalid(
+            f"snappy device emission needs a lane-tiled out_width "
+            f"< 65536 (got {out_width})"))
+    if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
+            and out_width % 8 == 0:
+        from .pallas.lz4_emit import materialize_pallas
+        return materialize_pallas(planes, layout, out_width=out_width,
+                                  interpret=interpret)
     return materialize(planes, layout, out_width=out_width)
 
 
@@ -509,7 +553,8 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
                        max_match: int | None = None,
                        detect_k: int = 4,
                        interpret: bool = False,
-                       detect_fft: bool = False):
+                       detect_fft: bool = False,
+                       fmt: str = "lz4"):
     """Match + parse stages of full-offload compression (no emission).
 
     Returns the sequence ``layout`` dict from :func:`parse_and_size`;
@@ -529,7 +574,7 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
     return _match_parse(planes, jnp.asarray(lengths, jnp.int32), seg=seg,
                         min_match=min_match, mm=mm, detect_k=detect_k,
                         interpret=interpret, offsets=offsets,
-                        detect_fft=detect_fft)
+                        detect_fft=detect_fft, fmt=fmt)
 
 
 def compress_blocks_device(planes, lengths, *, seg: int = 1024,
@@ -540,7 +585,8 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
                            interpret: bool = False,
                            detect_k: int = 4,
                            wcap: int = 8,
-                           detect_fft: bool = False):
+                           detect_fft: bool = False,
+                           fmt: str = "lz4"):
     """Full on-device LZ4 compression of a batch of blocks.
 
     Args:
@@ -579,10 +625,11 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
         return _pipeline(planes, lengths, seg=seg, min_match=min_match,
                          mm=mm, detect_k=detect_k, interpret=interpret,
                          offsets=offsets, out_width=out_width, wcap=wcap,
-                         detect_fft=detect_fft)
+                         detect_fft=detect_fft, fmt=fmt)
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
-                          offsets=offsets, wcap=wcap, detect_fft=detect_fft)
+                          offsets=offsets, wcap=wcap, detect_fft=detect_fft,
+                          fmt=fmt)
     sizes = np.asarray(layout["total"])
     lens = np.asarray(lengths)
     good = sizes < lens
@@ -591,5 +638,6 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
         wmax = max(wmax, 8193)   # compact wire can't carry this mv
     width = 128 << max(0, (-(-wmax // 128) - 1).bit_length())
     width = min(width, -(-lz4_bound(L) // 128) * 128)
-    out = _emit(planes, layout, out_width=width, interpret=interpret)
+    out = _emit(planes, layout, out_width=width, interpret=interpret,
+                fmt=fmt, lengths=lengths)
     return out, layout["total"]

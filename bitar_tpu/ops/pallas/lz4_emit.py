@@ -335,8 +335,8 @@ def _pmax2d(v, *, R):
     return jnp.maximum(p, c)
 
 
-def _packed_kernel(total_ref, plane_ref, fb_ref, stv_ref, out_ref, *,
-                   R, s_pad, nrows):
+def _packed_kernel(total_ref, blen_ref, plane_ref, fb_ref, stv_ref,
+                   out_ref, *, R, s_pad, nrows, fmt):
     """One grid step emits one whole block, output bytes PACKED:
     out[r, l] is wire byte t = r*128 + l (no lane broadcast — 128x less
     VMEM/HBM than the windowed kernel, and no per-tile windows at all).
@@ -387,15 +387,37 @@ def _packed_kernel(total_ref, plane_ref, fb_ref, stv_ref, out_ref, *,
     rowi = lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     t = rowi * LANES + lane
     d = t - w_start
-    n_lit_ext = jnp.where(ll >= 15, (ll - 15) // 255 + 1, 0)
-    hdr = 1 + n_lit_ext
-    lit_end = hdr + ll
+    if fmt == "lz4":
+        n_lit_ext = jnp.where(ll >= 15, (ll - 15) // 255 + 1, 0)
+        hdr = 1 + n_lit_ext
+        lit_end = hdr + ll
 
-    token = (jnp.minimum(ll, 15) << 4) | jnp.where(
-        mv >= 0, jnp.minimum(mv, 15), 0)
-    lit_ext = jnp.clip(ll - 15 - 255 * (d - 1), 0, 255)
-    m_ext = jnp.clip(mv - 15 - 255 * (d - lit_end - 2), 0, 255)
-    off_byte = jnp.where(d == lit_end, off & 0xFF, (off >> 8) & 0xFF)
+        token = (jnp.minimum(ll, 15) << 4) | jnp.where(
+            mv >= 0, jnp.minimum(mv, 15), 0)
+        lit_ext = jnp.clip(ll - 15 - 255 * (d - 1), 0, 255)
+        m_ext = jnp.clip(mv - 15 - 255 * (d - lit_end - 2), 0, 255)
+        off_byte = jnp.where(d == lit_end, off & 0xFF, (off >> 8) & 0xFF)
+    else:
+        # snappy: [literal tag + 0-3 LE length bytes][literals]
+        # [3-byte copy-2 element per <= 64-byte match chunk], preceded
+        # once per block by the uncompressed-length varint.
+        n1 = ll - 1
+        extra = jnp.where(n1 < 60, 0,
+                          jnp.where(n1 < 256, 1,
+                                    jnp.where(n1 < 65536, 2, 3)))
+        hdr = jnp.where(ll > 0, 1 + extra, 0)
+        lit_end = hdr + ll
+        tag_lit = jnp.where(extra == 0, n1 << 2, (59 + extra) << 2)
+        sh8 = jnp.clip(8 * (d - 1), 0, 24)
+        lit_ext = jnp.where(d == 0, tag_lit, (n1 >> sh8) & 0xFF)
+        cd = d - lit_end
+        ci = jnp.maximum(cd, 0) // 3
+        r3 = cd - 3 * ci
+        mlen = mv + 4                             # mv1 - 1 + 4
+        clen = jnp.clip(mlen - 64 * ci, 1, 64)
+        copy_byte = jnp.where(
+            r3 == 0, 2 | ((clen - 1) << 2),
+            jnp.where(r3 == 1, off & 0xFF, (off >> 8) & 0xFF))
 
     # Literal bytes: source row/lane with the < 2^16 carry discipline.
     lane_sum = ls_lane + (d - hdr)
@@ -443,18 +465,32 @@ def _packed_kernel(total_ref, plane_ref, fb_ref, stv_ref, out_ref, *,
         lit_cond, lit_body,
         (done0, jnp.zeros((R, LANES), jnp.int32), jnp.int32(0)))
 
-    val = jnp.where(
-        d == 0, token,
-        jnp.where(d < hdr, lit_ext,
-                  jnp.where(d < lit_end, lit_byte,
-                            jnp.where(d < lit_end + 2, off_byte, m_ext))))
+    if fmt == "lz4":
+        val = jnp.where(
+            d == 0, token,
+            jnp.where(d < hdr, lit_ext,
+                      jnp.where(d < lit_end, lit_byte,
+                                jnp.where(d < lit_end + 2, off_byte,
+                                          m_ext))))
+    else:
+        blen = blen_ref[b]
+        pre = (blen >> jnp.clip(7 * t, 0, 28)) & 0x7F
+        more = (blen >> jnp.clip(7 * (t + 1), 0, 28)) > 0
+        pre = jnp.where(more, pre | 0x80, pre)
+        val = jnp.where(d < hdr, lit_ext,
+                        jnp.where(d < lit_end, lit_byte, copy_byte))
+        vl = 1 + jnp.where(blen >= (1 << 7), 1, 0) \
+            + jnp.where(blen >= (1 << 14), 1, 0)
+        val = jnp.where(t < vl, pre, val)
     val = jnp.where(t < total_ref[b], val, 0)
     out_ref[0] = val.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_width", "interpret",
+                                             "fmt"))
 def materialize_pallas_packed(planes, layout, *, out_width: int,
-                              interpret: bool = False):
+                              interpret: bool = False, fmt: str = "lz4",
+                              lengths=None):
     """Packed-lane Pallas emission: same contract as
     :func:`materialize_pallas` (zeros past ``total``; rows whose total
     exceeds out_width are garbage under the caller's RAW fallback), but
@@ -495,13 +531,16 @@ def materialize_pallas_packed(planes, layout, *, out_width: int,
     stv = jnp.pad(stv, ((0, 0), (0, 7), (0, s_pad - nslots)),
                   constant_values=1 << 20)
 
-    kern = functools.partial(_packed_kernel, R=R, s_pad=s_pad, nrows=nrows)
+    if lengths is None:
+        lengths = jnp.full((n,), L, jnp.int32)
+    kern = functools.partial(_packed_kernel, R=R, s_pad=s_pad, nrows=nrows,
+                             fmt=fmt)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, nrows, LANES), lambda i, *_: (i, 0, 0),
@@ -520,6 +559,6 @@ def materialize_pallas_packed(planes, layout, *, out_width: int,
         out_shape=jax.ShapeDtypeStruct((n, R, LANES), jnp.uint8),
         interpret=interpret,
         **kwargs,
-    )(layout["total"].astype(jnp.int32),
+    )(layout["total"].astype(jnp.int32), jnp.asarray(lengths, jnp.int32),
       planes.reshape(n, nrows, LANES), fb, stv)
     return out.reshape(n, ow)

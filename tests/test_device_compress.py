@@ -336,3 +336,43 @@ def test_packed_emitter_matches_xla_materialize(rng):
             if t > ow or t >= int(np.asarray(lengths)[i]):
                 continue                      # garbage-row contract
             assert (a[i, :t] == b[i, :t]).all(), f"ow={ow} blk {i}"
+
+
+def test_snappy_device_offload(rng):
+    # fmt="snappy": the same detect+match+parse pipeline emits standard
+    # snappy framing (preamble varint + literal/copy-2 elements),
+    # decodable by the native snappy codec.
+    L = 16384
+    base = rng.integers(32, 127, 517, np.uint8)
+    blocks = np.stack([
+        _plane((b"snappy device " * (L // 14 + 1))[:L], L),
+        _plane(bytes([3]) * L, L),
+        _plane(np.tile(base, L // 517 + 1)[:L].tobytes(), L),
+    ])
+    out, sizes = compress_blocks_device(
+        blocks, np.asarray([L, L, L - 200], np.int32), seg=1024,
+        min_match=6, out_width=4096, interpret=True, fmt="snappy",
+        detect_fft=True)
+    out, sizes = np.asarray(out), np.asarray(sizes)
+    lens = [L, L, L - 200]
+    for i, ln in enumerate(lens):
+        assert sizes[i] < ln and sizes[i] <= 4096, f"blk {i} should fit"
+        dec = np.asarray(native.snappy_decompress(out[i, :sizes[i]], ln))
+        assert dec.tobytes() == blocks[i, :ln].tobytes(), f"blk {i}"
+
+
+def test_engine_snappy_device_matcher(rng):
+    import bitar_tpu as bt
+
+    bs = 16384
+    data = ((b"engine snappy offload " * (bs // 22 + 1))[:bs]
+            + rng.integers(0, 256, bs, np.uint8).tobytes())
+    cfg = bt.EngineConfig(
+        codec=bt.Codec.SNAPPY, block_size=bs, burst_size=8,
+        max_pool_slots=64, use_tpu_kernels=True, interpret=True,
+        compress_matcher="device")
+    with bt.Engine(cfg) as eng:
+        unit = eng.compress(data)
+        assert unit.manifest.ratio() > 1.5
+        assert eng.decompress(unit).tobytes() == data
+        eng.recycle(unit)
