@@ -396,6 +396,7 @@ def main() -> int:
     # the ~3-4 ms tunnel dispatch floor; seg=1024 + OW=2048 is the
     # measured operating point (r4: 28.3 ms / 33.5 MB = 1.19 GB/s).
     dev_comp = dev_ratio = dev_comp32 = dev_text_ratio = None
+    dev_snappy = None
     if on_tpu:
         try:
             from bitar_tpu.ops.device_compress import compress_blocks_device
@@ -455,6 +456,37 @@ def main() -> int:
             print(f"bench: device-offload compress depth-32 "
                   f"{best32*1e3:.2f} ms/launch ({dev_comp32:.3f} GB/s)",
                   file=sys.stderr)
+            # Snappy through the same offload pipeline (8 K wire: the
+            # 64-byte copy cap expands periodic blocks ~6x vs LZ4).
+            sout, ssizes = compress_blocks_device(
+                dplanes, dlen, seg=dseg, min_match=6, out_width=8192,
+                fmt="snappy")
+            ssz = np.asarray(ssizes)
+            shost = np.asarray(sout)
+            sttot = 0
+            for i in range(nd):
+                if ssz[i] >= BLOCK or ssz[i] > 8192:
+                    sttot += BLOCK
+                    continue
+                dec = np.asarray(_native.snappy_decompress(
+                    shost[i, :ssz[i]], BLOCK))
+                assert dec.tobytes() == planes[i].tobytes(), \
+                    f"devcomp snappy blk {i}"
+                sttot += int(ssz[i])
+            bests = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(32):
+                    last = compress_blocks_device(
+                        dplanes, dlen, seg=dseg, min_match=6,
+                        out_width=8192, fmt="snappy")
+                np.asarray(last[0].reshape(-1)[:1])
+                bests = min(bests, (time.perf_counter() - t0) / 32)
+            dev_snappy = nd * BLOCK / bests / 1e9
+            print(f"bench: device-offload SNAPPY {bests*1e3:.2f} ms/launch "
+                  f"({dev_snappy:.3f} GB/s depth-32, ratio "
+                  f"{nd * BLOCK / sttot:.3f})", file=sys.stderr)
             # Device-path ratio on the markdown corpus: real text needs
             # the FFT period detector (the sampled grid cannot see the
             # corpus' non-64-multiple tiling period) and a wire wide
@@ -525,6 +557,8 @@ def main() -> int:
         "device_offload_ratio": round(dev_ratio, 4) if dev_ratio else None,
         "device_offload_text_ratio": round(dev_text_ratio, 4)
         if dev_text_ratio else None,
+        "device_offload_snappy_GBps": round(dev_snappy, 4)
+        if dev_snappy else None,
     }))
     return 0
 
