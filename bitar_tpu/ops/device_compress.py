@@ -450,9 +450,26 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
             # FFT autocorrelation candidates catch periods the sampled
             # grid cannot see (non-stride-multiple large periods);
             # duplicates of a sampled candidate zero out so they don't
-            # burn matcher iterations.
-            foffs, _ = detect_offsets_fft(
-                planes, k=2, max_off=min(0xFFFF, L - 128))
+            # burn matcher iterations.  detect_fft="sample" runs the
+            # rfft on 8 evenly-spaced blocks only (~1/32 of the cost)
+            # and broadcasts the deduped union of their lags to every
+            # block — corpus-wide periods (tiled text, fixed-width
+            # records) cost one wasted matcher slot per junk lag, and
+            # the match kernel verifies byte equality per block either
+            # way.  Heterogeneous corpora should use detect_fft=True.
+            if detect_fft == "sample":
+                step = max(1, n // 8)
+                foffs_s, _ = detect_offsets_fft(
+                    planes[::step][:8], k=2, max_off=min(0xFFFF, L - 128))
+                cand = foffs_s.reshape(-1)
+                eq = cand[None, :] == cand[:, None]
+                first = (jnp.argmax(eq, axis=0)
+                         == jnp.arange(cand.shape[0]))
+                cand = jnp.where(first, cand, 0)
+                foffs = jnp.broadcast_to(cand[None, :], (n, cand.shape[0]))
+            else:
+                foffs, _ = detect_offsets_fft(
+                    planes, k=2, max_off=min(0xFFFF, L - 128))
             dup = (foffs[:, :, None] == offs[:, None, :]).any(axis=2)
             foffs = jnp.where(dup, 0, foffs)
             offs = jnp.concatenate([offs, foffs], axis=1)

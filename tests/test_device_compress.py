@@ -263,6 +263,20 @@ def test_fft_detector_finds_non_stride_periods(rng):
     assert sizes[1] < L // 16, "period-137 block should compress >= 16x"
 
 
+def test_fft_sample_mode(rng):
+    # detect_fft="sample" runs the rfft on 8 representative blocks and
+    # broadcasts the union of lags; a homogeneous corpus compresses
+    # identically to the full-FFT mode at ~1/32 the detect cost.
+    L = 16384
+    base = rng.integers(32, 127, 1338, np.uint8)
+    blocks = np.stack([np.tile(base, L // 1338 + 1)[:L] for _ in range(4)])
+    for i in range(4):
+        blocks[i, :8] = i
+    sizes = roundtrip(blocks, [L] * 4, seg=1024, out_width=4096,
+                      detect_fft="sample")
+    assert (sizes < L // 4).all()
+
+
 def test_partial_parse_on_wcap_overflow(rng):
     # A segment with more than wcap sequences keeps its first wcap and
     # emits the rest as literals: the stream stays valid LZ4 and total
