@@ -19,14 +19,18 @@ def roundtrip(planes: np.ndarray, lengths, **kw):
     whose size >= raw length (or > the emission width) are fallback —
     the engine stores them RAW and never reads their emitted bytes."""
     kw.setdefault("interpret", True)
+    fmt = kw.get("fmt", "lz4")
+    decode = (native.lz4_decompress if fmt == "lz4"
+              else native.snappy_decompress)
     out, sizes = compress_blocks_device(
         planes, np.asarray(lengths, np.int32), **kw)
     out, sizes = np.asarray(out), np.asarray(sizes)
     for i, ln in enumerate(lengths):
-        assert sizes[i] <= lz4_bound(int(ln)), f"block {i} oversize"
+        if fmt == "lz4":
+            assert sizes[i] <= lz4_bound(int(ln)), f"block {i} oversize"
         if sizes[i] >= ln or sizes[i] > out.shape[1]:
             continue                          # fallback: stored RAW
-        dec = np.asarray(native.lz4_decompress(out[i, :sizes[i]], int(ln)))
+        dec = np.asarray(decode(out[i, :sizes[i]], int(ln)))
         assert dec.tobytes() == planes[i, :ln].tobytes(), f"block {i}"
     return sizes
 
@@ -106,6 +110,7 @@ def test_fuzz_mixtures(rng):
         planes[i, :ln] = np.frombuffer(bytes(buf[:L]), np.uint8)[:ln]
         lengths.append(ln)
     roundtrip(planes, lengths, seg=256, min_match=6)
+    roundtrip(planes, lengths, seg=256, min_match=6, fmt="snappy")
 
 
 def test_engine_device_matcher_roundtrip(rng):
