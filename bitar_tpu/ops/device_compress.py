@@ -530,15 +530,17 @@ def _emit(planes, layout, *, out_width: int, interpret: bool,
     the XLA materialize otherwise (wide emission planes)."""
     L = planes.shape[1]
     if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
-            and out_width % 128 == 0:
+            and out_width % 128 == 0 and out_width >= 256:
+        # >= 256: a single-row output (R = 1) fails Mosaic's gather
+        # lowering; the windowed kernel covers ow = 128.
         from .pallas.lz4_emit import materialize_pallas_packed
         return materialize_pallas_packed(
             planes, layout, out_width=out_width, interpret=interpret,
             fmt=fmt, lengths=lengths)
     if fmt != "lz4":
         raise StatusError(Status.Invalid(
-            f"snappy device emission needs a lane-tiled out_width "
-            f"< 65536 (got {out_width})"))
+            f"snappy device emission needs a lane-tiled out_width in "
+            f"[256, 65536) (got {out_width})"))
     if out_width < (1 << 16) and L <= (1 << 17) and L % 128 == 0 \
             and out_width % 8 == 0:
         from .pallas.lz4_emit import materialize_pallas
