@@ -371,10 +371,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="match finding: host hash matcher, the Pallas "
                         "candidate-offset kernel, or the device value-sort "
                         "(exact greedy, arbitrary offsets)")
-    p.add_argument("--detect-fft", action="store_true",
+    p.add_argument("--detect-fft", nargs="?", const=True, default=False,
+                   choices=[True, "sample"],
                    help="device matcher: add FFT-autocorrelation period "
                         "candidates (finds text-shaped periods the "
-                        "sampled detector cannot see)")
+                        "sampled detector cannot see); 'sample' runs "
+                        "the rfft on 8 representative blocks only")
     p.add_argument("--codec", choices=[c.value for c in Codec], default="lz4")
     p.add_argument("--block-size", type=int, default=128 * 1024)
     p.add_argument("--burst-size", type=int, default=32)

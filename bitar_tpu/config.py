@@ -228,12 +228,16 @@ class EngineConfig:
                                         # LZ4 (+Snappy for tpu*) and
                                         # 16KiB-aligned blocks
     match_offsets: tuple[int, ...] = () # () -> kernel default candidate set
-    detect_fft: bool = False            # device matcher: add FFT-autocorr
+    detect_fft: bool | str = False      # device matcher: add FFT-autocorr
                                         # period candidates (finds periods
                                         # the 64-byte sampled grid cannot
                                         # see, e.g. text tiled at a
-                                        # non-64-multiple; ~0.1 ms/128 KiB
-                                        # block extra detect cost)
+                                        # non-64-multiple).  True = per
+                                        # block (~0.1 ms/128 KiB);
+                                        # "sample" = rfft on 8
+                                        # representative blocks, lags
+                                        # broadcast (~1/32 the cost; for
+                                        # homogeneous corpora)
     commit: str = "eager"               # when compressed bytes reach the
                                         # device arena: "eager" (during
                                         # compress, pipelined with the
@@ -322,6 +326,10 @@ class EngineConfig:
             return Status.Invalid(
                 f"compress_matcher {self.compress_matcher!r} not in "
                 f"(host, tpu, tpu-sort, device)")
+        if self.detect_fft not in (False, True, "sample"):
+            return Status.Invalid(
+                f"detect_fft {self.detect_fft!r} not in "
+                f"(False, True, 'sample')")
         if self.compress_matcher in ("tpu", "tpu-sort", "device"):
             if self.codec not in (Codec.LZ4, Codec.SNAPPY):
                 return Status.Invalid(
