@@ -1,7 +1,7 @@
 """Device-side LZ4 block compression: detect + match + parse + emit.
 
-Completes the on-device compression pipeline, rebuilt in round 4 around
-three measured facts: a ~3-4 ms dispatch floor per launch (fuse stages
+Completes the on-device compression pipeline, rebuilt across rounds 4-5
+around three measured facts: a ~3-4 ms dispatch floor per launch (fuse stages
 into ONE executable), XLA scatter/gather at ~5-11 ns per ELEMENT (size
 every scatter by real content, not worst cases), and a data-derived
 offset set beating any static candidate tuple (the old matcher scored
@@ -21,13 +21,15 @@ the bench text class at ratio 1.00; the detector scores it ~98x).
    sized ``wcap`` (not the worst case) — a segment overflowing its
    budget keeps its first ``wcap`` sequences and emits the rest as
    literals (a valid, just less compressed, stream).
-4. **Byte materialization** (XLA): per-slot fields scatter once at each
-   sequence's output start (cost = slots, hence ``wcap``), packed into
-   THREE monotone-key words for small emission widths; native cummax
-   propagates them to every byte, header bytes compute branchlessly,
-   and only the literal payload gathers from the raw plane.  The
-   emission width is the caller's: sized to the compressible blocks'
-   real totals (adaptive mode), not the LZ4 worst-case bound.
+4. **Byte materialization** (Pallas, ``lz4_emit``): the packed-lane
+   kernel scatters per-slot fields through MXU one-hot factors,
+   propagates them as key-packed wires by 2D-separable prefix-max, and
+   resolves literal bytes with a data-adaptive row loop; it emits LZ4
+   or snappy framing (``fmt``).  The XLA materialize (five monotone
+   cummax wires + one literal gather) remains the fallback for widths
+   the packed wire can't carry.  The emission width is the caller's:
+   sized to the compressible blocks' real totals (adaptive mode), not
+   the worst-case bound.
 
 The emitted stream is byte-level standard LZ4 (decodable by any LZ4
 block decoder; round-trip tests verify against the host codec) and
