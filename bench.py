@@ -506,7 +506,7 @@ def main() -> int:
                     np.full(tdp.shape[0], BLOCK, np.int32))
                 tout, tsizes = compress_blocks_device(
                     tdp, tl, seg=dseg, min_match=6, out_width=tow,
-                    detect_fft="sample")
+                    detect_fft="sample", fft_k=6)
                 tsz = np.asarray(tsizes)
                 thost = np.asarray(tout)
                 for i in range(tdp.shape[0]):

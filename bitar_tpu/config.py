@@ -238,6 +238,11 @@ class EngineConfig:
                                         # representative blocks, lags
                                         # broadcast (~1/32 the cost; for
                                         # homogeneous corpora)
+    fft_k: int = 6                      # autocorr peaks kept per FFT pass
+                                        # (markdown sweep 2026-08-20:
+                                        # k=2 ratio 3.305, k=6 3.356 at
+                                        # equal device time; candidates
+                                        # saturate past ~6)
     commit: str = "eager"               # when compressed bytes reach the
                                         # device arena: "eager" (during
                                         # compress, pipelined with the
@@ -330,6 +335,8 @@ class EngineConfig:
             return Status.Invalid(
                 f"detect_fft {self.detect_fft!r} not in "
                 f"(False, True, 'sample')")
+        if not (1 <= self.fft_k <= 16):
+            return Status.Invalid(f"fft_k {self.fft_k} outside [1, 16]")
         if self.compress_matcher in ("tpu", "tpu-sort", "device"):
             if self.codec not in (Codec.LZ4, Codec.SNAPPY):
                 return Status.Invalid(

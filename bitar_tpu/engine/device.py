@@ -548,7 +548,8 @@ class Engine:
             dplanes, manifest.raw_len.astype(np.int32),
             seg=min(self._DEVICE_SEG, L), min_match=cfg.min_match,
             offsets=tuple(cfg.match_offsets) or None,
-            interpret=cfg.interpret, detect_fft=cfg.detect_fft, fmt=fmt)
+            interpret=cfg.interpret, detect_fft=cfg.detect_fft, fmt=fmt,
+            fft_k=cfg.fft_k)
         szs = np.asarray(layout["total"])               # tiny readback
         fallback = szs >= manifest.raw_len
         if fmt != "lz4":

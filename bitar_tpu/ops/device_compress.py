@@ -428,9 +428,10 @@ def materialize(planes, layout, *, out_width: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "seg", "min_match", "mm", "detect_k", "interpret", "offsets", "wcap",
-    "detect_fft", "fmt"))
+    "detect_fft", "fmt", "fft_k"))
 def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
-                 interpret, offsets, wcap=8, detect_fft=False, fmt="lz4"):
+                 interpret, offsets, wcap=8, detect_fft=False, fmt="lz4",
+                 fft_k=2):
     """Fused match + parse: ONE XLA executable (one dispatch — the dev
     tunnel charges ~3-4 ms per launch regardless of work, measured
     2026-08-19, so stage-per-launch composition dominates small-batch
@@ -462,7 +463,8 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
             if detect_fft == "sample":
                 step = max(1, n // 8)
                 foffs_s, _ = detect_offsets_fft(
-                    planes[::step][:8], k=2, max_off=min(0xFFFF, L - 128))
+                    planes[::step][:8], k=fft_k,
+                    max_off=min(0xFFFF, L - 128))
                 cand = foffs_s.reshape(-1)
                 eq = cand[None, :] == cand[:, None]
                 first = (jnp.argmax(eq, axis=0)
@@ -471,7 +473,7 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
                 foffs = jnp.broadcast_to(cand[None, :], (n, cand.shape[0]))
             else:
                 foffs, _ = detect_offsets_fft(
-                    planes, k=2, max_off=min(0xFFFF, L - 128))
+                    planes, k=fft_k, max_off=min(0xFFFF, L - 128))
             dup = (foffs[:, :, None] == offs[:, None, :]).any(axis=2)
             foffs = jnp.where(dup, 0, foffs)
             offs = jnp.concatenate([offs, foffs], axis=1)
@@ -510,15 +512,16 @@ def _match_parse(planes, lengths, *, seg, min_match, mm, detect_k,
 
 @functools.partial(jax.jit, static_argnames=(
     "seg", "min_match", "mm", "detect_k", "interpret", "offsets",
-    "out_width", "wcap", "detect_fft", "fmt"))
+    "out_width", "wcap", "detect_fft", "fmt", "fft_k"))
 def _pipeline(planes, lengths, *, seg, min_match, mm, detect_k, interpret,
-              offsets, out_width, wcap=8, detect_fft=False, fmt="lz4"):
+              offsets, out_width, wcap=8, detect_fft=False, fmt="lz4",
+              fft_k=2):
     """Fully fused compress pipeline (explicit emission width): detect +
     match + parse + materialize in one dispatch."""
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
                           offsets=offsets, wcap=wcap,
-                          detect_fft=detect_fft, fmt=fmt)
+                          detect_fft=detect_fft, fmt=fmt, fft_k=fft_k)
     out = _emit(planes, layout, out_width=out_width, interpret=interpret,
                 fmt=fmt, lengths=lengths)
     return out, layout["total"]
@@ -575,7 +578,8 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
                        detect_k: int = 4,
                        interpret: bool = False,
                        detect_fft: bool = False,
-                       fmt: str = "lz4"):
+                       fmt: str = "lz4",
+                       fft_k: int = 2):
     """Match + parse stages of full-offload compression (no emission).
 
     Returns the sequence ``layout`` dict from :func:`parse_and_size`;
@@ -595,7 +599,7 @@ def match_parse_device(planes, lengths, *, seg: int = 1024,
     return _match_parse(planes, jnp.asarray(lengths, jnp.int32), seg=seg,
                         min_match=min_match, mm=mm, detect_k=detect_k,
                         interpret=interpret, offsets=offsets,
-                        detect_fft=detect_fft, fmt=fmt)
+                        detect_fft=detect_fft, fmt=fmt, fft_k=fft_k)
 
 
 def compress_blocks_device(planes, lengths, *, seg: int = 1024,
@@ -607,7 +611,8 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
                            detect_k: int = 4,
                            wcap: int = 8,
                            detect_fft: bool = False,
-                           fmt: str = "lz4"):
+                           fmt: str = "lz4",
+                           fft_k: int = 2):
     """Full on-device LZ4 compression of a batch of blocks.
 
     Args:
@@ -646,11 +651,11 @@ def compress_blocks_device(planes, lengths, *, seg: int = 1024,
         return _pipeline(planes, lengths, seg=seg, min_match=min_match,
                          mm=mm, detect_k=detect_k, interpret=interpret,
                          offsets=offsets, out_width=out_width, wcap=wcap,
-                         detect_fft=detect_fft, fmt=fmt)
+                         detect_fft=detect_fft, fmt=fmt, fft_k=fft_k)
     layout = _match_parse(planes, lengths, seg=seg, min_match=min_match,
                           mm=mm, detect_k=detect_k, interpret=interpret,
                           offsets=offsets, wcap=wcap, detect_fft=detect_fft,
-                          fmt=fmt)
+                          fmt=fmt, fft_k=fft_k)
     sizes = np.asarray(layout["total"])
     lens = np.asarray(lengths)
     good = sizes < lens

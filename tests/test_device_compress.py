@@ -282,6 +282,23 @@ def test_fft_sample_mode(rng):
     assert (sizes < L // 4).all()
 
 
+def test_fft_k_more_peaks(rng):
+    # fft_k widens the autocorrelation candidate set: a block carrying
+    # TWO interleaved periods needs both lags.  k=6 is the shipped
+    # default (markdown sweep 2026-08-20: ratio 3.305 @ k=2 -> 3.356 @
+    # k=6 at equal device time; saturates past ~6).
+    L = 16384
+    b1 = rng.integers(32, 127, 1338, np.uint8)
+    b2 = rng.integers(32, 127, 2470, np.uint8)
+    half = L // 2
+    p = np.concatenate([np.tile(b1, half // 1338 + 1)[:half],
+                        np.tile(b2, half // 2470 + 1)[:half]])
+    planes = p[None, :]
+    sizes = roundtrip(planes, [L], seg=1024, out_width=8192,
+                      detect_fft=True, fft_k=6)
+    assert sizes[0] < L // 3, "both periods should be matched via fft_k=6"
+
+
 def test_partial_parse_on_wcap_overflow(rng):
     # A segment with more than wcap sequences keeps its first wcap and
     # emits the rest as literals: the stream stays valid LZ4 and total
