@@ -396,7 +396,7 @@ def main() -> int:
     # the ~3-4 ms tunnel dispatch floor; seg=1024 + OW=2048 is the
     # measured operating point (r4: 28.3 ms / 33.5 MB = 1.19 GB/s).
     dev_comp = dev_ratio = dev_comp32 = dev_text_ratio = None
-    dev_snappy = None
+    dev_snappy = dev_text_gbps = None
     if on_tpu:
         try:
             from bitar_tpu.ops.device_compress import compress_blocks_device
@@ -497,19 +497,28 @@ def main() -> int:
             tplanes = np.frombuffer(
                 make_text_corpus(nd)[:nd * BLOCK], np.uint8).reshape(
                     nd, BLOCK)
+            tdev = [jax.device_put(tplanes[s:s + tchunk])
+                    for s in range(0, nd, tchunk)]
+            tl = jax.device_put(np.full(tchunk, BLOCK, np.int32))
             ttot = 0
             tdevn = 0
+            touts = []
+            # Warm pass (compiles once — every chunk shares the shape).
+            np.asarray(compress_blocks_device(
+                tdev[0], tl, seg=dseg, min_match=6, out_width=tow,
+                detect_fft="sample", fft_k=6)[1])
+            # Timed pass: device work + size readback only; byte-exact
+            # verify below is host work and stays out of the clock.
             t_text0 = time.perf_counter()
-            for s in range(0, nd, tchunk):
-                tdp = jax.device_put(tplanes[s:s + tchunk])
-                tl = jax.device_put(
-                    np.full(tdp.shape[0], BLOCK, np.int32))
+            for tdp in tdev:
                 tout, tsizes = compress_blocks_device(
                     tdp, tl, seg=dseg, min_match=6, out_width=tow,
                     detect_fft="sample", fft_k=6)
-                tsz = np.asarray(tsizes)
+                touts.append((tout, np.asarray(tsizes)))
+            t_text = time.perf_counter() - t_text0
+            for s, (tout, tsz) in zip(range(0, nd, tchunk), touts):
                 thost = np.asarray(tout)
-                for i in range(tdp.shape[0]):
+                for i in range(tsz.shape[0]):
                     if tsz[i] >= BLOCK or tsz[i] > tow:
                         ttot += BLOCK
                         continue
@@ -519,12 +528,12 @@ def main() -> int:
                     assert dec.tobytes() == tplanes[s + i].tobytes(), \
                         f"devcomp text blk {s + i}"
                     ttot += int(tsz[i])
-            t_text = time.perf_counter() - t_text0
             dev_text_ratio = nd * BLOCK / ttot
+            dev_text_gbps = nd * BLOCK / t_text / 1e9
             print(f"bench: device-offload TEXT ratio {dev_text_ratio:.3f} "
                   f"({tdevn}/{nd} blocks device-compressed, "
-                  f"{nd * BLOCK / t_text / 1e9:.2f} GB/s incl. h2d+"
-                  f"readback+verify; FFT offsets + partial parse)",
+                  f"{dev_text_gbps:.2f} GB/s warm device+size-readback; "
+                  f"FFT offsets + partial parse)",
                   file=sys.stderr)
         except Exception as e:                       # secondary metric only
             print(f"bench: device-compress phase skipped: {e}", file=sys.stderr)
@@ -557,6 +566,8 @@ def main() -> int:
         "device_offload_ratio": round(dev_ratio, 4) if dev_ratio else None,
         "device_offload_text_ratio": round(dev_text_ratio, 4)
         if dev_text_ratio else None,
+        "device_offload_text_GBps": round(dev_text_gbps, 4)
+        if dev_text_gbps else None,
         "device_offload_snappy_GBps": round(dev_snappy, 4)
         if dev_snappy else None,
     }))
